@@ -1,0 +1,133 @@
+"""Multiresolution hash-grid encoding (instant-ngp style), TPU-native.
+
+Replaces tiny-cuda-nn's ``tcnn.Encoding(HashGrid)`` +
+``ProgressiveBandHashGrid`` masking used by the reference
+(``models/network_utils.py:43-68``).  Design notes:
+
+* Pure-jnp reference path: per level, 8-corner gather from the level's
+  table + trilinear interpolation.  Gathers autodiff to scatter-adds
+  (XLA segment-sum style), which replaces tcnn's atomicAdd gradient
+  kernel deterministically.
+* The per-level feature mask (progressive band opening) is a pure
+  function of the training step, so it lives inside ``jit`` without
+  recompilation (reference mutates a buffer per step instead).
+* Tables are stored as one ``[L, T, F]`` array so a Pallas kernel can be
+  slotted in behind the same interface (see ``hashgrid_pallas.py``).
+
+Level resolutions follow instant-ngp: ``res_l = floor(base * b^l)``;
+levels whose dense grid fits in the table use dense (non-hashed) indexing,
+like tcnn.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# instant-ngp spatial hash primes
+_PRIMES = (1, 2654435761, 805459861)
+
+
+class HashGridEncoding:
+    def __init__(self, in_channels: int, config: Dict[str, Any]):
+        assert in_channels == 3, "hash grid encode implemented for 3D inputs"
+        self.n_input_dims = 3
+        self.n_levels = int(config["n_levels"])
+        self.n_features_per_level = int(config["n_features_per_level"])
+        self.log2_hashmap_size = int(config["log2_hashmap_size"])
+        self.base_resolution = int(config["base_resolution"])
+        self.per_level_scale = float(config["per_level_scale"])
+        self.table_size = 2 ** self.log2_hashmap_size
+        self.n_output_dims = self.n_levels * self.n_features_per_level
+
+        # progressive band opening (ProgressiveBandHashGrid); for plain
+        # HashGrid all levels are always open
+        self.progressive = config.get("otype", "HashGrid") == "ProgressiveBandHashGrid"
+        self.start_level = int(config.get("start_level", self.n_levels))
+        self.start_step = int(config.get("start_step", 0))
+        self.update_steps = int(config.get("update_steps", 1))
+
+        self.resolutions = np.array(
+            [
+                int(math.floor(self.base_resolution * self.per_level_scale ** l))
+                for l in range(self.n_levels)
+            ],
+            dtype=np.int64,
+        )
+        # dense indexing when the full grid fits into the hash table
+        self.dense = (self.resolutions.astype(np.int64) + 1) ** 3 <= self.table_size
+
+    # ------------------------------------------------------------------ #
+    def init(self, key) -> Dict[str, jnp.ndarray]:
+        table = jax.random.uniform(
+            key,
+            (self.n_levels, self.table_size, self.n_features_per_level),
+            minval=-1e-4,
+            maxval=1e-4,
+            dtype=jnp.float32,
+        )
+        return {"table": table}
+
+    # ------------------------------------------------------------------ #
+    def current_level(self, step) -> jnp.ndarray:
+        """Number of open levels as a function of the global step."""
+        if not self.progressive:
+            return jnp.asarray(self.n_levels, jnp.int32)
+        step = jnp.asarray(step, jnp.int32)
+        lvl = self.start_level + jnp.maximum(step - self.start_step, 0) // self.update_steps
+        return jnp.minimum(lvl, self.n_levels).astype(jnp.int32)
+
+    def level_mask(self, step) -> jnp.ndarray:
+        """[L] float mask of open levels (fn of step, traced under jit)."""
+        cur = self.current_level(step)
+        return (jnp.arange(self.n_levels) < cur).astype(jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    def _corner_indices(self, i0: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Flat table indices for the 8 corners. i0: [N, 3] int32."""
+        res = int(self.resolutions[level])
+        corners = jnp.asarray(
+            [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
+            dtype=jnp.int32,
+        )  # [8,3]
+        idx3 = i0[:, None, :] + corners[None, :, :]  # [N,8,3]
+        idx3 = jnp.clip(idx3, 0, res)  # grid has res+1 points per axis
+        if self.dense[level]:
+            stride = res + 1
+            flat = idx3[..., 0] + stride * (idx3[..., 1] + stride * idx3[..., 2])
+        else:
+            h = idx3[..., 0].astype(jnp.uint32) * jnp.uint32(_PRIMES[0])
+            h = h ^ (idx3[..., 1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
+            h = h ^ (idx3[..., 2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
+            flat = (h & jnp.uint32(self.table_size - 1)).astype(jnp.int32)
+        return flat.astype(jnp.int32)  # [N,8]
+
+    def apply(self, params, x: jnp.ndarray, step=None) -> jnp.ndarray:
+        """Encode ``x`` in [0,1]^3 -> [N, L*F] features (level-major)."""
+        table = params["table"]
+        mask = self.level_mask(step if step is not None else 10 ** 9)
+        n = x.shape[0]
+        feats = []
+        for l in range(self.n_levels):
+            res = int(self.resolutions[l])
+            pos = x * res
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            i0 = jnp.clip(i0, 0, res - 1)
+            w = pos - i0  # [N,3] in [0,1)
+            flat = self._corner_indices(i0, l)  # [N,8]
+            vals = table[l][flat]  # [N,8,F]
+            # trilinear weights, corner order (x,y,z) bits as in _corner_indices
+            wx = jnp.stack([1.0 - w[:, 0], w[:, 0]], axis=-1)  # [N,2]
+            wy = jnp.stack([1.0 - w[:, 1], w[:, 1]], axis=-1)
+            wz = jnp.stack([1.0 - w[:, 2], w[:, 2]], axis=-1)
+            cw = (
+                wx[:, :, None, None] * wy[:, None, :, None] * wz[:, None, None, :]
+            ).reshape(n, 8)
+            feats.append(jnp.einsum("nc,ncf->nf", cw, vals) * mask[l])
+        return jnp.concatenate(feats, axis=-1)
+
+    __call__ = apply

@@ -1,0 +1,172 @@
+"""Padded, masked ray marching with fixed-capacity compaction.
+
+TPU-native replacement for nerfacc's occupancy-grid sampler
+(reference: ``lib/nerfacc/cuda/csrc/ray_marching.cu``,
+``OccGridEstimator.sampling`` in nerfacc 0.5.3, used at
+``models/split_mixed_occ.py:264-272``).  Instead of the GPU two-pass
+count/compact kernel with dynamic output shapes, we:
+
+1. generate a static ``[R, S]`` grid of candidate intervals per ray
+   (stratified offset per ray),
+2. mask candidates by AABB range and a binary occupancy-grid lookup,
+3. compact live samples into a fixed-capacity ray-major buffer with a
+   cumsum + scatter (``mode='drop'``); rays whose samples overflow the
+   buffer are flagged excluded so the training loss can ignore them —
+   this *is* the TPU analog of the reference's dynamic ray-count
+   adaptation (``systems/split_occ.py:159-161``): when the scene is
+   dense, fewer rays fit the fixed sample budget.
+
+All shapes are static; everything jits.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max):
+    """Slab test. Returns (t_near, t_far); miss encoded as t_near > t_far.
+
+    Mirrors nerfacc ``csrc/intersection.cu`` semantics: t_near clamped >= 0.
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(rays_d) > 1e-10, rays_d,
+                            jnp.where(rays_d >= 0, 1e-10, -1e-10))
+    t0 = (aabb_min - rays_o) * inv_d
+    t1 = (aabb_max - rays_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_near = jnp.maximum(t_near, 0.0)
+    return t_near, t_far
+
+
+class RaySamples(NamedTuple):
+    """Compacted ray-major sample buffer (all arrays length ``capacity``)."""
+
+    t_starts: jnp.ndarray      # [C]
+    t_ends: jnp.ndarray        # [C]
+    ray_indices: jnp.ndarray   # [C] int32; == n_rays for empty slots
+    valid: jnp.ndarray         # [C] bool
+    ray_start: jnp.ndarray     # [R] int32 buffer offset of each ray's samples
+    ray_count: jnp.ndarray     # [R] int32 live samples per ray (pre-drop)
+    ray_included: jnp.ndarray  # [R] bool: all live samples made it into buffer
+    num_live: jnp.ndarray      # [] int32 total live samples before dropping
+
+
+def occupancy_lookup(binary, positions, aabb_min, aabb_max, resolution):
+    """Binary occupancy test of world positions against a [res^3] bitfield."""
+    u = (positions - aabb_min) / (aabb_max - aabb_min)
+    idx = jnp.floor(u * resolution).astype(jnp.int32)
+    inside = jnp.all((idx >= 0) & (idx < resolution), axis=-1)
+    idx = jnp.clip(idx, 0, resolution - 1)
+    flat = (idx[..., 0] * resolution + idx[..., 1]) * resolution + idx[..., 2]
+    return jnp.where(inside, binary[flat], False)
+
+
+def candidate_intervals(rays_o, rays_d, t_near, t_far, step_size, num_samples,
+                        rng: Optional[jax.Array] = None,
+                        near_plane: Optional[float] = None,
+                        far_plane: Optional[float] = None):
+    """[R,S] stratified candidate intervals along each ray."""
+    n_rays = rays_o.shape[0]
+    if near_plane is not None:
+        t_near = jnp.maximum(t_near, near_plane)
+    if far_plane is not None:
+        t_far = jnp.minimum(t_far, far_plane)
+    if rng is not None:
+        u = jax.random.uniform(rng, (n_rays, 1))
+    else:
+        u = jnp.zeros((n_rays, 1)) + 0.5
+    steps = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
+    t0 = t_near[:, None] + (steps + u) * step_size  # sample midpoint offset
+    t_starts = t0 - 0.5 * step_size
+    t_ends = t0 + 0.5 * step_size
+    in_range = (t0 >= t_near[:, None]) & (t0 < t_far[:, None])
+    return t_starts, t_ends, in_range
+
+
+def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
+               capacity, grid_binary=None, grid_resolution=128,
+               rng: Optional[jax.Array] = None,
+               near_plane: Optional[float] = None,
+               far_plane: Optional[float] = None) -> RaySamples:
+    """Occupancy-pruned marching, compacted to a fixed-size buffer."""
+    n_rays = rays_o.shape[0]
+    t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
+    t_starts, t_ends, live = candidate_intervals(
+        rays_o, rays_d, t_near, t_far, step_size, num_samples, rng,
+        near_plane, far_plane,
+    )
+    if grid_binary is not None:
+        t_mid = 0.5 * (t_starts + t_ends)
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        occ = occupancy_lookup(grid_binary, pos, aabb_min, aabb_max,
+                               grid_resolution)
+        live = live & occ
+
+    # ---- compaction (ray-major flatten preserves per-ray ordering) ---- #
+    flat_live = live.reshape(-1)
+    flat_ts = t_starts.reshape(-1)
+    flat_te = t_ends.reshape(-1)
+    flat_ray = jnp.repeat(jnp.arange(n_rays, dtype=jnp.int32), num_samples)
+
+    pos_in_buf = jnp.cumsum(flat_live.astype(jnp.int32)) - 1
+    num_live = jnp.where(flat_live.shape[0] > 0,
+                         pos_in_buf[-1] + 1, 0).astype(jnp.int32)
+    ok = flat_live & (pos_in_buf < capacity)
+    dest = jnp.where(ok, pos_in_buf, capacity)
+
+    buf_ts = jnp.zeros((capacity,), flat_ts.dtype).at[dest].set(
+        flat_ts, mode="drop")
+    buf_te = jnp.zeros((capacity,), flat_te.dtype).at[dest].set(
+        flat_te, mode="drop")
+    buf_ray = jnp.full((capacity,), n_rays, jnp.int32).at[dest].set(
+        flat_ray, mode="drop")
+    n_in_buf = jnp.minimum(num_live, capacity)
+    buf_valid = jnp.arange(capacity) < n_in_buf
+
+    ray_count = live.sum(axis=1).astype(jnp.int32)
+    ray_end = jnp.cumsum(ray_count)
+    ray_start = (ray_end - ray_count).astype(jnp.int32)
+    ray_included = ray_end <= capacity
+
+    return RaySamples(
+        t_starts=buf_ts, t_ends=buf_te, ray_indices=buf_ray, valid=buf_valid,
+        ray_start=jnp.minimum(ray_start, capacity).astype(jnp.int32),
+        ray_count=ray_count, ray_included=ray_included, num_live=num_live,
+    )
+
+
+def march_rays_dense(rays_o, rays_d, *, near_plane, far_plane, num_samples,
+                     aabb_min, aabb_max, grid_binary=None, grid_resolution=128,
+                     rng: Optional[jax.Array] = None):
+    """Non-compacted masked marching in a fixed [near, far] range.
+
+    Used for secondary occlusion rays (reference
+    ``models/split_mixed_occ.py:179-222``: 96 uniform samples in
+    [0.05, 1.5], no stratification by default).  Returns ``(t_starts,
+    t_ends, live)`` with shape [R, S]; the step size follows the
+    reference: ``(far - near) / (S - 1)``.
+    """
+    n_rays = rays_o.shape[0]
+    step_size = (far_plane - near_plane) / (num_samples - 1)
+    t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
+    t_near = jnp.maximum(t_near, near_plane)
+    t_far = jnp.minimum(t_far, far_plane)
+    if rng is not None:
+        u = jax.random.uniform(rng, (n_rays, 1))
+    else:
+        u = jnp.zeros((n_rays, 1)) + 0.5
+    steps = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
+    t0 = near_plane + (steps + u) * step_size
+    t_starts = t0 - 0.5 * step_size
+    t_ends = t0 + 0.5 * step_size
+    live = (t0 >= t_near[:, None]) & (t0 < t_far[:, None])
+    if grid_binary is not None:
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * t0[..., None]
+        occ = occupancy_lookup(grid_binary, pos, aabb_min, aabb_max,
+                               grid_resolution)
+        live = live & occ
+    return t_starts, t_ends, live

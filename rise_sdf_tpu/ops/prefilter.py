@@ -1,0 +1,215 @@
+"""Environment-map prefiltering as precomputed linear operators.
+
+TPU-native replacement for the nvdiffrec CUDA kernels
+``diffuse_cubemap`` / ``specular_cubemap`` (reference
+``lib/renderutils/c_src/cubemap.cu``, wrapped at
+``lib/renderutils/ops.py:404-460``).  Both filters are *linear* in the
+input cubemap with weights that depend only on (resolution, roughness) —
+so we precompute them once at startup and apply them each training step
+as dense matmuls / sparse gathers, which are MXU/VPU friendly and
+differentiate exactly (no atomicAdd backward kernels).
+
+* Diffuse (cosine) filtering runs at 16^2 like the reference: a dense
+  ``[1536, 1536]`` matrix.
+* GGX specular filtering at level resolution N would need a huge
+  stencil for small roughness, so we filter at a reduced working
+  resolution M (chosen so the 99%-energy GGX cone spans a few texels),
+  using the already-available avg-pool mip chain as the input, then
+  bilinearly upsample to N.  The kernel weights replicate the CUDA
+  kernel: ``w = max(dot(L,V),0) * ndfGGX(alpha^2, dot(V,H)) * area / 4``
+  normalized by the weight sum, restricted to
+  ``dot(L,V) >= costheta_cutoff`` with the cutoff derived exactly like
+  ``__ndfBounds`` (``ops.py:428-443``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cubemap import face_directions, sample_cubemap, texel_solid_angle
+
+MIN_ROUGHNESS = 0.08
+MAX_ROUGHNESS = 0.5
+LIGHT_MIN_RES = 16
+
+
+def _np_face_dirs(res: int) -> np.ndarray:
+    return np.asarray(face_directions(res)).reshape(-1, 3)
+
+
+def _np_areas(res: int) -> np.ndarray:
+    a = np.asarray(texel_solid_angle(res))
+    return np.tile(a[None], (6, 1, 1)).reshape(-1)
+
+
+def ndf_ggx(alpha_sqr: np.ndarray, cos_theta: np.ndarray) -> np.ndarray:
+    c = np.clip(cos_theta, 0.0, 1.0)
+    d = (c * alpha_sqr - c) * c + 1.0
+    return alpha_sqr / (d * d * np.pi)
+
+
+def ggx_cutoff_costheta(roughness: float, cutoff: float = 0.99) -> float:
+    """99%-energy cutoff angle, numerically like reference ops.py:428-443."""
+    n = 100000
+    costheta = np.cos(np.linspace(0, np.pi / 2.0, n))
+    d = np.cumsum(ndf_ggx(roughness ** 4, costheta))
+    idx = int(np.argmax(d >= d[-1] * cutoff))
+    return float(costheta[idx])
+
+
+@lru_cache(maxsize=8)
+def diffuse_filter_matrix(res: int = LIGHT_MIN_RES) -> jnp.ndarray:
+    """[6res^2, 6res^2] cosine-hemisphere filter (cubemap.cu diffuse fwd)."""
+    dirs = _np_face_dirs(res)
+    areas = _np_areas(res)
+    dots = np.clip(dirs @ dirs.T, 0.0, 0.999)
+    w = dots * areas[None, :] / np.pi
+    return jnp.asarray(w, jnp.float32)
+
+
+def apply_diffuse_filter(cubemap: jnp.ndarray) -> jnp.ndarray:
+    res = cubemap.shape[1]
+    w = diffuse_filter_matrix(res)
+    flat = cubemap.reshape(6 * res * res, -1)
+    out = w @ flat
+    return out.reshape(6, res, res, -1)
+
+
+class SpecularLevelFilter(NamedTuple):
+    """Precomputed GGX filter for one mip level."""
+
+    target_res: int           # output resolution N
+    work_res: int             # filtering resolution M (input from mip chain)
+    dense: Optional[jnp.ndarray]   # [T,T] if dense mode
+    idx: Optional[jnp.ndarray]     # [T,K] int32 if sparse mode
+    w: Optional[jnp.ndarray]       # [T,K] float32
+
+
+def _choose_work_res(target_res: int, theta_c: float,
+                     max_radius_texels: float = 8.0) -> int:
+    """Largest power-of-two resolution where the cone spans <= ~8 texels.
+
+    Cone radius in texels at resolution M is ~ theta_c / ((pi/2)/M), so we
+    require M <= max_radius * pi / (2 * theta_c).
+    """
+    if theta_c <= 1e-6:
+        return min(target_res, 64)
+    m_max = max_radius_texels * math.pi / (2.0 * theta_c)
+    res = LIGHT_MIN_RES
+    while res * 2 <= min(target_res, int(m_max)):
+        res *= 2
+    return max(LIGHT_MIN_RES, min(res, target_res))
+
+
+def _specular_weights_rows(dirs, areas, rows, alpha_sqr, costheta_c):
+    """Normalized filter weights for a block of output texels. [B, T]."""
+    v = dirs[rows]                                   # [B,3]
+    dots = v @ dirs.T                                # [B,T] dot(L, VNR)
+    h = dirs[None, :, :] + v[:, None, :]             # [B,T,3]
+    h_norm = np.sqrt((h * h).sum(-1))
+    vnr_dot_h = np.clip((h * v[:, None, :]).sum(-1) / np.maximum(h_norm, 1e-8),
+                        0.0, 1.0)
+    w = np.maximum(dots, 0.0) * ndf_ggx(alpha_sqr, vnr_dot_h) * areas[None, :] / 4.0
+    mask = dots >= costheta_c
+    mask[np.arange(len(rows)), rows] = True  # center texel always kept
+    w = np.where(mask, w, 0.0)
+    w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-20)
+    return w.astype(np.float32), mask
+
+
+def build_specular_level_filter(target_res: int,
+                                roughness: float,
+                                cutoff: float = 0.99) -> SpecularLevelFilter:
+    costheta_c = ggx_cutoff_costheta(roughness, cutoff)
+    theta_c = math.acos(min(max(costheta_c, -1.0), 1.0))
+    work_res = _choose_work_res(target_res, theta_c)
+
+    dirs = _np_face_dirs(work_res).astype(np.float32)
+    areas = _np_areas(work_res).astype(np.float32)
+    alpha = roughness * roughness
+    alpha_sqr = alpha * alpha
+    t = dirs.shape[0]
+    block = 4096
+
+    # pass 1: max stencil size
+    nnz = 0
+    for s in range(0, t, block):
+        rows = np.arange(s, min(s + block, t))
+        _, mask = _specular_weights_rows(dirs, areas, rows, alpha_sqr,
+                                         costheta_c)
+        nnz = max(nnz, int(mask.sum(axis=1).max()))
+
+    if nnz > t // 3 or work_res <= LIGHT_MIN_RES:
+        w_full = np.concatenate([
+            _specular_weights_rows(dirs, areas,
+                                   np.arange(s, min(s + block, t)),
+                                   alpha_sqr, costheta_c)[0]
+            for s in range(0, t, block)
+        ], axis=0)
+        return SpecularLevelFilter(target_res, work_res,
+                                   jnp.asarray(w_full), None, None)
+
+    # pass 2: top-nnz sparse extraction per row block
+    idx_rows, w_rows = [], []
+    for s in range(0, t, block):
+        rows = np.arange(s, min(s + block, t))
+        w, _ = _specular_weights_rows(dirs, areas, rows, alpha_sqr, costheta_c)
+        order = np.argpartition(-w, nnz - 1, axis=1)[:, :nnz]
+        w_sp = np.take_along_axis(w, order, axis=1)
+        idx_rows.append(order.astype(np.int32))
+        w_rows.append(w_sp)
+    return SpecularLevelFilter(
+        target_res, work_res, None,
+        jnp.asarray(np.concatenate(idx_rows, axis=0)),
+        jnp.asarray(np.concatenate(w_rows, axis=0)),
+    )
+
+
+def apply_specular_level_filter(filt: SpecularLevelFilter,
+                                chain: List[jnp.ndarray]) -> jnp.ndarray:
+    """Filter using the mip ``chain`` (chain[i] has res base/2^i)."""
+    base_res = chain[0].shape[1]
+    ci = int(round(math.log2(base_res / filt.work_res)))
+    src = chain[ci]
+    m = filt.work_res
+    flat = src.reshape(6 * m * m, -1)
+    if filt.dense is not None:
+        out = (filt.dense @ flat).reshape(6, m, m, -1)
+    else:
+        gathered = flat[filt.idx]                   # [T,K,C]
+        out = jnp.einsum("tk,tkc->tc", filt.w, gathered).reshape(6, m, m, -1)
+    if m == filt.target_res:
+        return out
+    dirs = face_directions(filt.target_res)
+    return sample_cubemap(out, dirs)
+
+
+@lru_cache(maxsize=4)
+def build_specular_filter_bank(base_res: int, cutoff: float = 0.99
+                               ) -> Tuple[SpecularLevelFilter, ...]:
+    """Filters for the full mip ladder of a ``base_res`` cubemap.
+
+    Ladder matches reference ``lib/pbr/light.py:169-180``: levels at
+    base_res .. 16 with roughness ramp MIN..MAX over levels [0, n-2] and
+    roughness 1.0 at the last level.
+    """
+    resolutions = []
+    r = base_res
+    while r >= LIGHT_MIN_RES:
+        resolutions.append(r)
+        if r == LIGHT_MIN_RES:
+            break
+        r //= 2
+    n = len(resolutions)
+    filters = []
+    for idx in range(n - 1):
+        rough = (idx / max(n - 2, 1)) * (MAX_ROUGHNESS - MIN_ROUGHNESS) + MIN_ROUGHNESS
+        filters.append(build_specular_level_filter(resolutions[idx], rough, cutoff))
+    filters.append(build_specular_level_filter(resolutions[-1], 1.0, cutoff))
+    return tuple(filters)

@@ -1,0 +1,16 @@
+"""Test config: force a virtual 8-device CPU mesh before JAX import.
+
+Multi-chip sharding is validated on host CPU devices
+(xla_force_host_platform_device_count), mirroring how the driver
+dry-runs the multichip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
