@@ -1,0 +1,89 @@
+"""CLI launcher — output-compatible with the reference ``launch.py``.
+
+Usage (same surface as reference launch.py:10-33):
+
+    python launch.py --config configs/neus-blender.yaml --train \
+        dataset.scene=lego [dotlist overrides...]
+
+Experiment layout (reference launch.py:55-60):
+    exp/[name]/[tag]@[timestamp]/{config,ckpt,save}
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", required=True, help="path to config file")
+    parser.add_argument("--gpu", default="0",
+                        help="device selector (kept for CLI compatibility)")
+    parser.add_argument("--resume", default=None,
+                        help="path to checkpoint to resume from")
+    parser.add_argument("--resume_weights_only", action="store_true")
+    group = parser.add_mutually_exclusive_group(required=True)
+    group.add_argument("--train", action="store_true")
+    group.add_argument("--validate", action="store_true")
+    group.add_argument("--test", action="store_true")
+    group.add_argument("--predict", action="store_true")
+    parser.add_argument("--exp_dir", default="./exp")
+    parser.add_argument("--verbose", action="store_true")
+    args, extras = parser.parse_known_args()
+
+    import numpy as np
+
+    from rise_sdf_tpu import datasets, systems
+    from rise_sdf_tpu.config import dump_config, load_config
+
+    config = load_config(args.config, cli_args=extras)
+    config.setdefault("cmd_args", vars(args))
+
+    name = config.get("name", "exp")
+    tag = config.get("tag", "") or ""
+    ts = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    trial = f"{tag}@{ts}" if tag else f"@{ts}"
+    trial_dir = os.path.join(args.exp_dir, name, trial)
+    config["trial_dir"] = trial_dir
+    save_dir = os.path.join(trial_dir, "save")
+    ckpt_dir = os.path.join(trial_dir, "ckpt")
+    config_dir = os.path.join(trial_dir, "config")
+    for d in (save_dir, ckpt_dir, config_dir):
+        os.makedirs(d, exist_ok=True)
+    dump_config(config, os.path.join(config_dir, "parsed.yaml"))
+
+    seed = int(config.get("seed", 42))
+    np.random.seed(seed)
+
+    dm = datasets.make(config["dataset"]["name"], config["dataset"])
+    system = systems.make(config["system"]["name"], config, dm,
+                          save_dir=save_dir, ckpt_dir=ckpt_dir)
+
+    state = system.init_state(seed)
+    if args.resume:
+        if args.resume_weights_only:
+            state = system.load_weights_only(args.resume, state)
+        else:
+            state = system.load_checkpoint(args.resume, state)
+
+    val_every = config["trainer"].get("val_check_interval", None)
+    log_every = int(config["trainer"].get("log_every_n_steps", 100))
+
+    if args.train:
+        state = system.fit(seed=seed, state=state, log_every=log_every,
+                           val_every=val_every)
+        system.test(state)
+    elif args.validate:
+        system.validate(state)
+    elif args.test:
+        system.test(state)
+    elif args.predict:
+        hdr = config["model"]["light"]["envlight_config"].get("hdr_filepath")
+        system.predict(state, hdr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Optimizable mip-cubemap environment light (split-sum IBL).
+
+Functional re-design of the reference ``EnvironmentLightMipCube``
+(``lib/pbr/light.py:126-370``): the learnable base cubemap is a param
+pytree; ``build_mips`` is a pure function producing the filtered mip
+pyramid each step (avg-pool chain + precomputed diffuse/GGX spherical
+filters — see ``ops/prefilter.py``); ``eval_mip`` is a trilinear
+mip-cubemap lookup replacing ``dr.texture(boundary_mode='cube')``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import register
+from ..ops import prefilter
+from ..ops.cubemap import (
+    avg_pool_cubemap,
+    blender_latlong_to_cubemap,
+    cubemap_to_latlong,
+    nmf_latlong_to_cubemap,
+    sample_cubemap,
+    sample_cubemap_mips,
+)
+
+MIN_ROUGHNESS = prefilter.MIN_ROUGHNESS
+MAX_ROUGHNESS = prefilter.MAX_ROUGHNESS
+LIGHT_MIN_RES = prefilter.LIGHT_MIN_RES
+
+
+def load_hdr_image(path: str) -> np.ndarray:
+    """Load an .hdr/.exr lat-long image as float32 RGB [H, W, 3].
+
+    Replaces the reference's cv2-based loader
+    (``lib/pbr/utils/nvdiffrecmc_util.py:380-410``).
+    """
+    os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    img = img.astype(np.float32)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, -1)
+    return np.ascontiguousarray(img[..., :3][..., ::-1])  # BGR -> RGB
+
+
+class EnvMips(NamedTuple):
+    diffuse: jnp.ndarray            # [6, 16, 16, 3]
+    specular: List[jnp.ndarray]     # per-level [6, N_l, N_l, 3]
+
+
+@register("envlight-mip-cube")
+class EnvLightMipCube:
+    def __init__(self, config):
+        self.config = config
+        ec = config["envlight_config"]
+        self.base_res = int(ec.get("base_res", 512))
+        self.scale = float(ec.get("scale", 0.5))
+        self.bias = float(ec.get("bias", 0.25))
+        self.clamp = bool(ec.get("clamp", False))
+        self.nmf_format = bool(ec.get("nmf_format", False))
+        self.hdr_filepath = ec.get("hdr_filepath", None)
+        # number of mip levels base_res .. 16
+        self.n_levels = 1
+        r = self.base_res
+        while r > LIGHT_MIN_RES:
+            r //= 2
+            self.n_levels += 1
+        self._filters = None  # built lazily (heavy precompute)
+
+    # ------------------------------------------------------------------ #
+    def init(self, key) -> dict:
+        if self.hdr_filepath is None:
+            base = (
+                jax.random.uniform(key, (6, self.base_res, self.base_res, 3))
+                * self.scale + self.bias
+            )
+        else:
+            latlong = jnp.asarray(load_hdr_image(self.hdr_filepath))
+            if self.clamp:
+                latlong = jnp.clip(latlong, 0.0, 1.0)
+            conv = nmf_latlong_to_cubemap if self.nmf_format else \
+                blender_latlong_to_cubemap
+            base = conv(latlong, self.base_res)
+        return {"base": base.astype(jnp.float32)}
+
+    def relight_params(self, file_name: str) -> dict:
+        """Fresh (non-trainable) params from an HDR file
+        (reference light.py:155-158)."""
+        latlong = jnp.asarray(load_hdr_image(file_name))
+        conv = nmf_latlong_to_cubemap if self.nmf_format else \
+            blender_latlong_to_cubemap
+        return {"base": conv(latlong, self.base_res).astype(jnp.float32)}
+
+    # ------------------------------------------------------------------ #
+    @property
+    def filters(self):
+        if self._filters is None:
+            self._filters = prefilter.build_specular_filter_bank(self.base_res)
+        return self._filters
+
+    def build_mips(self, params) -> EnvMips:
+        """Differentiable mip build (reference light.py:169-180)."""
+        base = params["base"]
+        chain = [base]
+        while chain[-1].shape[1] > LIGHT_MIN_RES:
+            chain.append(avg_pool_cubemap(chain[-1]))
+        diffuse = prefilter.apply_diffuse_filter(chain[-1])
+        specular = [
+            prefilter.apply_specular_level_filter(f, chain)
+            for f in self.filters
+        ]
+        return EnvMips(diffuse=diffuse, specular=specular)
+
+    # ------------------------------------------------------------------ #
+    def get_mip(self, roughness):
+        """Roughness -> fractional mip level (reference light.py:182-185)."""
+        n = self.n_levels
+        lo = (jnp.clip(roughness, MIN_ROUGHNESS, MAX_ROUGHNESS) - MIN_ROUGHNESS) \
+            / (MAX_ROUGHNESS - MIN_ROUGHNESS) * (n - 2)
+        hi = (jnp.clip(roughness, MAX_ROUGHNESS, 1.0) - MAX_ROUGHNESS) \
+            / (1.0 - MAX_ROUGHNESS) + n - 2
+        return jnp.where(roughness < MAX_ROUGHNESS, lo, hi)
+
+    def eval_mip(self, mips: EnvMips, directions, specular: bool = False,
+                 roughness=None):
+        """[N,3] dirs -> [N,3] radiance (reference light.py:188-206)."""
+        if specular:
+            assert roughness is not None
+            mip = self.get_mip(roughness)
+            if mip.ndim == directions.ndim:
+                mip = mip[..., 0]
+            return sample_cubemap_mips(mips.specular, directions, mip)
+        return sample_cubemap(mips.diffuse, directions)
+
+    def eval_base(self, params, directions):
+        """Raw base lookup (reference light.py:250-263)."""
+        return sample_cubemap(params["base"], directions)
+
+    def generate_image(self, params) -> jnp.ndarray:
+        """Lat-long dump of the learned light (reference light.py:366-370)."""
+        return cubemap_to_latlong(params["base"], (512, 1024))

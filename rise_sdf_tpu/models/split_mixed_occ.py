@@ -1,0 +1,299 @@
+"""Split-mixed-occ renderer — the full PBIR model, functional TPU design.
+
+Re-designs the reference ``models/split_mixed_occ.py`` (SplitMixedOCCModel):
+
+* occupancy-pruned padded marching + fixed-capacity compaction for the
+  primary pass; masked dense marching for secondary occlusion rays;
+* stage gating (0: NN radiance split; 1: + split-sum PBR) is a *static*
+  flag — exactly two jit specializations over the whole run;
+* the data-dependent secondary/third-bounce subsets
+  (``valid_indices``/roughness masks, reference :291-331) become
+  fixed-width masked computations;
+* all channel accumulation is one segment-sum over a packed value
+  matrix.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import make, register
+from .neus import neus_alpha, occ_eval_alpha
+from .variance import Variance
+from ..ops import march, volrend
+from ..utils.color import rgb_to_srgb
+
+
+def _normalize(v, eps=1e-6):
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+@register("split-mixed-occ")
+class SplitMixedOccModel:
+    def __init__(self, config):
+        self.config = config
+        self.radius = float(config["radius"])
+        self.num_samples_per_ray = int(config["num_samples_per_ray"])
+        self.render_step_size = 1.732 * 2 * self.radius / self.num_samples_per_ray
+        self.num_samples_per_secondary_ray = int(
+            config.get("num_samples_per_secondary_ray", 96))
+        self.secondary_near_plane = float(config.get("secondary_near_plane", 0.05))
+        self.secondary_far_plane = float(config.get("secondary_far_plane", 1.5))
+        self.grid_resolution = int(config.get("grid_resolution", 128))
+        self.cos_anneal_end = int(config.get("cos_anneal_end", 0))
+        self.randomized = bool(config.get("randomized", True))
+        self.split_sum_kick_in_step = int(config.get("split_sum_kick_in_step", 0))
+        self.indirect_pred = bool(config.get("indirect_pred", True))
+        self.relighting_threshold = float(config.get("relighting_threshold", 0.3))
+        self.aabb_min = jnp.asarray([-self.radius] * 3)
+        self.aabb_max = jnp.asarray([self.radius] * 3)
+
+        self.geometry = make(config["geometry"]["name"], config["geometry"])
+        self.texture = make(config["texture"]["name"], config["texture"])
+        self.emitter = make(config["light"]["name"], config["light"])
+        self.variance = Variance(config["variance"])
+        self.fd_grad = config["geometry"].get("grad_type") == "finite_difference"
+
+    def init(self, key):
+        ks = jax.random.split(key, 4)
+        return {
+            "geometry": self.geometry.init(ks[0]),
+            "texture": self.texture.init(ks[1]),
+            "variance": self.variance.init(ks[2]),
+            "emitter": self.emitter.init(ks[3]),
+        }
+
+    # ------------------------------------------------------------------ #
+    def stage(self, step: int) -> int:
+        """Python-level stage flag (static under jit; one recompile at flip)."""
+        return 1 if step >= self.split_sum_kick_in_step else 0
+
+    def cos_anneal_ratio(self, step):
+        if self.cos_anneal_end == 0:
+            return jnp.asarray(1.0)
+        return jnp.minimum(1.0, jnp.asarray(step, jnp.float32)
+                           / self.cos_anneal_end)
+
+    def occ_eval(self, params, x, step):
+        sdf = self.geometry.sdf(params["geometry"], x, step)
+        inv_s = self.variance.inv_s(params["variance"], step)
+        return occ_eval_alpha(sdf, inv_s, self.render_step_size)
+
+    # ------------------------------------------------------------------ #
+    def _alpha_at(self, params, positions, t_dirs, dists, step,
+                  cos_anneal_ratio):
+        geo = self.geometry.forward(params["geometry"], positions, step,
+                                    with_grad=True, with_feature=False)
+        normal = _normalize(geo["grad"])
+        inv_s = self.variance.inv_s(params["variance"], step)
+        true_cos = jnp.sum(t_dirs * normal, -1)
+        return neus_alpha(geo["sdf"], inv_s, true_cos, dists, cos_anneal_ratio)
+
+    def compute_indirect_radiance(self, params, rays_o, rays_d, occ_binary,
+                                  step):
+        """Transmittance + expected depth along secondary rays (no grad).
+
+        Reference ``models/split_mixed_occ.py:179-222``: 96 uniform
+        samples in [0.05, 1.5], occupancy-masked, NeuS alpha, returns
+        (1 - opacity, depth).  Computed full-width and masked by caller.
+        """
+        ts, te, live = march.march_rays_dense(
+            rays_o, rays_d, near_plane=self.secondary_near_plane,
+            far_plane=self.secondary_far_plane,
+            num_samples=self.num_samples_per_secondary_ray,
+            aabb_min=self.aabb_min, aabb_max=self.aabb_max,
+            grid_binary=occ_binary, grid_resolution=self.grid_resolution)
+        t_mid = 0.5 * (ts + te)
+        dists = te - ts
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        n, s = pos.shape[0], pos.shape[1]
+        t_dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
+        alpha = self._alpha_at(
+            params, pos.reshape(-1, 3), t_dirs.reshape(-1, 3),
+            dists.reshape(-1), step, jnp.asarray(1.0)).reshape(n, s)
+        alpha = jnp.where(live, alpha, 0.0)
+        w, _ = volrend.render_weight_from_alpha_dense(alpha, live)
+        acc = w.sum(axis=1, keepdims=True)
+        depth = (w * t_mid).sum(axis=1, keepdims=True)
+        return jax.lax.stop_gradient(jnp.clip(1.0 - acc, 0.0, 1.0)), \
+            jax.lax.stop_gradient(depth)
+
+    # ------------------------------------------------------------------ #
+    def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
+                stage: int = 0, train: bool = False, relighting: bool = False,
+                capacity: int, background_color):
+        """rays [R,6] -> per-ray dict. stage/train/relighting/capacity static."""
+        n_rays = rays.shape[0]
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        march_rng = laplace_rng = None
+        if rng is not None:
+            rng, k1, k2 = jax.random.split(rng, 3)
+            laplace_rng = k2
+            if self.randomized and train:
+                march_rng = k1
+
+        rs = march.march_rays(
+            rays_o, rays_d, aabb_min=self.aabb_min, aabb_max=self.aabb_max,
+            step_size=self.render_step_size,
+            num_samples=self.num_samples_per_ray, capacity=capacity,
+            grid_binary=occ_binary, grid_resolution=self.grid_resolution,
+            rng=march_rng)
+        t_mid = 0.5 * (rs.t_starts + rs.t_ends)
+        dists = rs.t_ends - rs.t_starts
+        ridx = jnp.clip(rs.ray_indices, 0, n_rays - 1)
+        positions = rays_o[ridx] + rays_d[ridx] * t_mid[:, None]
+        t_dirs = rays_d[ridx]
+
+        want_laplace = self.fd_grad and train
+        geo = self.geometry.forward(
+            params["geometry"], positions, step, with_grad=True,
+            with_feature=True, with_laplace=want_laplace, rng=laplace_rng)
+        sdf, sdf_grad, feature = geo["sdf"], geo["grad"], geo["feature"]
+        normal = _normalize(sdf_grad)
+        inv_s = self.variance.inv_s(params["variance"], step)
+        true_cos = jnp.sum(t_dirs * normal, -1)
+        alpha = neus_alpha(sdf, inv_s, true_cos, dists,
+                           self.cos_anneal_ratio(step))
+
+        tex = self.texture.apply(
+            params["texture"], feature, t_dirs, normal, positions,
+            emitter=self.emitter, mips=mips, stage=stage, step=step)
+
+        weights, _ = volrend.render_weight_from_alpha(
+            alpha, rs.ray_start, rs.ray_indices, rs.valid, n_rays)
+
+        # pack per-sample channels for one fused accumulation
+        chans = [tex["diff_rgb"], tex["spec_rgb"], tex["blend"]]
+        if stage != 0:
+            chans += [tex["diff_rgb_pbr"], tex["spec_rgb_pbr"],
+                      tex["spec_ref"], tex["spec_light"], tex["albedo"],
+                      tex["metallic"], tex["roughness"]]
+        norm_orient = jnp.clip(jnp.sum(t_dirs * normal, -1, keepdims=True),
+                               0.0, None)
+        chans += [normal, t_mid[:, None], jnp.ones_like(t_mid)[:, None],
+                  norm_orient]
+        packed = jnp.concatenate(chans, axis=-1)
+        acc = volrend.accumulate_along_rays(weights, rs.ray_indices, packed,
+                                            n_rays)
+        i = 0
+
+        def take(d):
+            nonlocal i
+            v = acc[:, i:i + d]
+            i += d
+            return v
+
+        diff_rgb_map = take(3)
+        spec_rgb_map = take(3)
+        blend_map = take(1)
+        if stage != 0:
+            diff_rgb_pbr_map = take(3)
+            spec_rgb_pbr_map = take(3)
+            spec_ref_map = take(3)
+            spec_light_map = take(3)
+            albedo_map = take(3)
+            metallic_map = take(1)
+            roughness_map = take(1)
+        normal_map = take(3)
+        depth_map = take(1)
+        acc_map = take(1)
+        norm_orient_map = take(1)
+
+        # ---- secondary occlusion / indirect pass (masked full-width) ---- #
+        sec_valid = acc_map[:, 0] > 0.5
+        if self.indirect_pred:
+            sec_o = rays_o + depth_map * rays_d
+            wo = -rays_d
+            sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
+                * normal_map - wo
+            tr, sec_depth = self.compute_indirect_radiance(
+                params, sec_o, sec_d, occ_binary, step)
+            sec_geo = self.geometry.forward(
+                params["geometry"], sec_o, step, with_grad=False,
+                with_feature=True)
+            sec_rgb = self.texture.secondary_shading(
+                params["texture"], sec_geo["feature"], sec_d, normal_map,
+                step=step)
+            mask = sec_valid[:, None]
+            spec_rgb_map = jnp.where(
+                mask, tr * spec_rgb_map + (1 - tr) * sec_rgb, spec_rgb_map)
+            if stage != 0:
+                if not relighting:
+                    spec_rgb_pbr_map = jnp.where(
+                        mask, tr * spec_rgb_pbr_map + (1 - tr) * sec_rgb,
+                        spec_rgb_pbr_map)
+                else:
+                    # third mirror bounce for glossy points (reference :323-332)
+                    rough_mask = mask & (roughness_map
+                                         <= self.relighting_threshold)
+                    third_o = sec_o + sec_depth * sec_d
+                    tg = self.geometry.forward(
+                        params["geometry"], third_o, step, with_grad=True,
+                        with_feature=True)
+                    third_normal = _normalize(tg["grad"])
+                    third_rgb = self.texture.secondary_shading_pbr(
+                        params["texture"], tg["feature"], sec_d, third_normal,
+                        third_o, self.emitter, mips, step=step)
+                    spec_light_map = jnp.where(
+                        rough_mask,
+                        tr * spec_light_map + (1 - tr) * third_rgb,
+                        spec_light_map)
+                    spec_rgb_pbr_map = spec_ref_map * spec_light_map
+
+        rgb_map = diff_rgb_map + spec_rgb_map
+
+        bg = jnp.broadcast_to(background_color[None, :], rgb_map.shape)
+        out = {
+            "comp_rgb": rgb_map,
+            "comp_diffuse_rgb": diff_rgb_map,
+            "comp_spec_rgb": spec_rgb_map,
+            "comp_blend": blend_map,
+            "comp_normal": normal_map,
+            "opacity": acc_map,
+            "depth": depth_map,
+            "rays_valid": acc_map > 0,
+            "num_samples": rs.num_live,
+            "ray_included": rs.ray_included,
+            "inv_s": inv_s,
+            "comp_rgb_full": jnp.clip(
+                rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
+            "rays_valid_full": acc_map > 0,
+        }
+        if stage != 0:
+            rgb_pbr_map = diff_rgb_pbr_map + spec_rgb_pbr_map
+            out.update({
+                "comp_rgb_phys": rgb_pbr_map,
+                "comp_diffuse_rgb_phys": diff_rgb_pbr_map,
+                "comp_spec_rgb_phys": spec_rgb_pbr_map,
+                "comp_albedo": albedo_map,
+                "comp_metallic": metallic_map,
+                "comp_roughness": roughness_map,
+                "comp_rgb_phys_full": jnp.clip(
+                    rgb_to_srgb(rgb_pbr_map + bg * (1.0 - acc_map)), 0.0, 1.0),
+                "comp_spec_rgb_full": jnp.clip(
+                    rgb_to_srgb(spec_rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
+                "comp_spec_rgb_phys_full": jnp.clip(
+                    rgb_to_srgb(spec_rgb_pbr_map + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+            })
+        if train:
+            out.update({
+                "sdf_samples": sdf,
+                "sdf_grad_samples": sdf_grad,
+                "samples_valid": rs.valid,
+                "weights": weights,
+                "points": t_mid,
+                "intervals": dists,
+                "ray_indices": rs.ray_indices,
+                "ray_start": rs.ray_start,
+                "normals_orientation_loss_map": norm_orient_map,
+            })
+            if want_laplace:
+                out["sdf_laplace_samples"] = geo["laplace"]
+        return out
+
+    def forward_level(self, params, x, step=None):
+        return self.geometry.forward_level(params["geometry"], x, step)

@@ -1,0 +1,124 @@
+"""Base system: functional train/eval harness.
+
+Replaces the reference's PyTorch-Lightning ``BaseSystem``
+(``systems/base.py``) with an explicit JAX training loop:
+
+* ``TrainState`` is a plain pytree (params, optax state, occupancy grid,
+  step) — checkpointed by flattening to npz (replaces Lightning ckpt).
+* schedule state (hash level, fd eps, cos anneal, loss-weight ramps) is
+  computed *inside* jit from the step scalar, so the whole training step
+  is one compiled function (two, counting the stage flip).
+* ray batches are sampled on-device inside jit; on a multi-chip mesh the
+  batch is sharded over the ``data`` axis and XLA inserts the gradient
+  all-reduce (replaces Lightning DDP + NCCL).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import models
+from ..ops import grid as occ_grid
+from ..utils.saving import Saver
+
+
+class BaseSystem:
+    def __init__(self, config, datamodule, save_dir: str = "exp_out",
+                 ckpt_dir: Optional[str] = None):
+        self.config = config
+        self.datamodule = datamodule
+        self.model = models.make(config["model"]["name"], config["model"])
+        self.saver = Saver(save_dir)
+        self.ckpt_dir = ckpt_dir or os.path.join(save_dir, "ckpt")
+        self.prepare()
+        self._jit_cache: Dict[Any, Any] = {}
+        self.mesh = None  # optional jax.sharding.Mesh for data parallelism
+
+    def prepare(self):
+        pass
+
+    # ------------------------------------------------------------------ #
+    def C(self, value, step):
+        """Scalar schedule (reference systems/base.py:28-45).
+
+        ``value`` is a number or ``[start_step, start, end, end_step]``
+        (3-element lists get start_step=0).  Returns a traced scalar.
+        """
+        if isinstance(value, (int, float)):
+            return value
+        value = list(value)
+        if len(value) == 3:
+            value = [0] + value
+        start_step, start_value, end_value, end_step = value
+        assert isinstance(end_step, int), "epoch-based schedules unsupported"
+        t = jnp.clip(
+            (jnp.asarray(step, jnp.float32) - start_step)
+            / max(end_step - start_step, 1), 0.0, 1.0)
+        return start_value + (end_value - start_value) * t
+
+    # ------------------------------------------------------------------ #
+    # checkpointing: flatten the state pytree to ordered arrays
+    def save_checkpoint(self, state, path: Optional[str] = None) -> str:
+        path = path or os.path.join(self.ckpt_dir,
+                                    f"step_{int(state['step'])}.ckpt.npz")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        leaves = jax.tree_util.tree_leaves(state)
+        np.savez(path, **{f"leaf_{i}": np.asarray(l)
+                          for i, l in enumerate(leaves)})
+        return path
+
+    def load_checkpoint(self, path: str, template_state):
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten(template_state)
+        new_leaves = []
+        for i, leaf in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            new_leaves.append(jnp.asarray(arr))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    def load_weights_only(self, path: str, template_state):
+        """Restore params + occupancy + step; keep fresh optimizer state.
+
+        Mirrors ``--resume_weights_only`` / test-time state-dict load
+        (reference launch.py:109).
+        """
+        full = self.load_checkpoint(path, template_state)
+        out = dict(template_state)
+        for k in ("params", "occs", "occ_binary", "step"):
+            if k in full:
+                out[k] = full[k]
+        return out
+
+    # ------------------------------------------------------------------ #
+    def occupancy_update_fn(self):
+        """Jitted occupancy-grid EMA sweep over all cells."""
+        model = self.model
+        res = model.grid_resolution
+        thre = float(self.config["model"].get("grid_prune_occ_thre", 0.01))
+
+        @jax.jit
+        def update(params, occs, step, rng):
+            pos = occ_grid.cell_positions(res, model.aabb_min, model.aabb_max,
+                                          rng)
+            occ = model.occ_eval(params, pos, step)
+            state = occ_grid.OccupancyGridState(occs=occs,
+                                                binary=jnp.zeros_like(occs, bool))
+            new = occ_grid.update_grid(state, occ.reshape(-1), occ_thre=thre)
+            return new.occs, new.binary
+
+        return update
+
+    # ------------------------------------------------------------------ #
+    def masked_mean(self, x, mask):
+        """Mean over masked entries; broadcast mask over trailing dims."""
+        while mask.ndim < x.ndim:
+            mask = mask[..., None]
+        num = jnp.sum(jnp.where(mask, x, 0.0))
+        den = jnp.maximum(jnp.sum(jnp.broadcast_to(mask, x.shape)), 1.0)
+        return num / den

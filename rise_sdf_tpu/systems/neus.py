@@ -1,0 +1,333 @@
+"""NeuS system: geometry-only training/eval pipeline.
+
+Reference ``systems/neus.py`` re-designed as one jitted train step:
+on-device ray sampling -> padded march -> field eval -> losses -> grads
+-> optax update.  The occupancy-grid EMA sweep runs as a second jitted
+function every 16 steps (reference ``update_every_n_steps``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import register
+from .base import BaseSystem
+from .criterions import binary_cross_entropy, psnr
+from .optim import make_optimizer
+from ..ops import grid as occ_grid
+from ..ops.volrend import distortion_loss
+from ..utils.rays import get_rays
+
+
+@register("neus-system")
+class NeuSSystem(BaseSystem):
+    def prepare(self):
+        mc = self.config["model"]
+        self.train_num_rays = int(mc.get("max_train_num_rays",
+                                         mc.get("train_num_rays", 4096)))
+        target_rays = int(mc.get("train_num_rays", 256))
+        default_cap = min(
+            self.train_num_rays * int(mc["num_samples_per_ray"]), 1 << 20)
+        if mc.get("dynamic_ray_sampling", False):
+            default_cap = target_rays * int(mc["num_samples_per_ray"])
+        self.capacity = int(mc.get("train_sample_capacity", default_cap))
+        self.eval_chunk = int(mc.get("ray_chunk", 4096))
+        self.eval_capacity = self.eval_chunk * int(
+            mc.get("eval_samples_per_ray", 128))
+        self.grid_prune = bool(mc.get("grid_prune", True))
+        self.background_color_mode = mc.get("background_color", "random")
+        self.tx = None
+
+    # ------------------------------------------------------------------ #
+    def init_state(self, seed: int = 42) -> Dict:
+        rng = jax.random.PRNGKey(seed)
+        params = self.model.init(rng)
+        self.tx = make_optimizer(self.config["system"], params)
+        g = occ_grid.init_grid(self.model.grid_resolution)
+        return {
+            "params": params,
+            "opt_state": self.tx.init(params),
+            "occs": g.occs,
+            "occ_binary": g.binary,
+            "step": jnp.asarray(0, jnp.int32),
+        }
+
+    def device_data(self, split) -> Dict[str, jnp.ndarray]:
+        return {
+            "images": jnp.asarray(split.all_images),
+            "masks": jnp.asarray(split.all_fg_masks),
+            "c2w": jnp.asarray(split.all_c2w),
+            "directions": jnp.asarray(split.directions),
+        }
+
+    # ------------------------------------------------------------------ #
+    def sample_batch(self, rng, data, bg_srgb: bool = False):
+        """On-device random (image, pixel) ray batch (reference
+        systems/neus.py:34-86)."""
+        n_img, h, w = data["images"].shape[:3]
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+        r = self.train_num_rays
+        idx = jax.random.randint(k1, (r,), 0, n_img)
+        x = jax.random.randint(k2, (r,), 0, w)
+        y = jax.random.randint(k3, (r,), 0, h)
+        dirs = data["directions"][y, x]
+        rays_o, rays_d = get_rays(dirs, data["c2w"][idx])
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rgb = data["images"][idx, y, x]
+        mask = data["masks"][idx, y, x]
+        if self.background_color_mode == "white":
+            bg = jnp.ones((3,))
+        elif self.background_color_mode == "black":
+            bg = jnp.zeros((3,))
+        else:
+            bg = jax.random.uniform(k4, (3,))
+        if bg_srgb:
+            from ..utils.color import rgb_to_srgb
+
+            rgb = rgb * mask[:, None] + rgb_to_srgb(bg)[None, :] \
+                * (1 - mask[:, None])
+        else:
+            rgb = rgb * mask[:, None] + bg[None, :] * (1 - mask[:, None])
+        return {"rays": jnp.concatenate([rays_o, rays_d], -1), "rgb": rgb,
+                "mask": mask, "bg": bg}
+
+    # ------------------------------------------------------------------ #
+    def compute_losses(self, out, batch, step):
+        cfg = self.config["system"]["loss"]
+        sel = out["rays_valid_full"][:, 0] & out["ray_included"]
+        inc = out["ray_included"]
+        sv = out["samples_valid"]
+
+        losses = {}
+        diff = out["comp_rgb_full"] - batch["rgb"]
+        losses["rgb_mse"] = self.masked_mean(diff ** 2, sel)
+        losses["rgb_l1"] = self.masked_mean(jnp.abs(diff), sel)
+        grad_norm = jnp.linalg.norm(out["sdf_grad_samples"], axis=-1)
+        losses["eikonal"] = self.masked_mean((grad_norm - 1.0) ** 2, sv)
+        opacity = jnp.clip(out["opacity"][:, 0], 1e-3, 1 - 1e-3)
+        m = jnp.where(inc, 1.0, 0.0)
+        losses["mask"] = -jnp.sum(
+            (batch["mask"] * jnp.log(opacity)
+             + (1 - batch["mask"]) * jnp.log(1 - opacity)) * m) \
+            / jnp.maximum(m.sum(), 1.0)
+        losses["opaque"] = -jnp.sum(
+            (opacity * jnp.log(opacity)
+             + (1 - opacity) * jnp.log(1 - opacity)) * m) \
+            / jnp.maximum(m.sum(), 1.0)
+        losses["sparsity"] = self.masked_mean(
+            jnp.exp(-float(cfg.get("sparsity_scale", 1.0))
+                    * jnp.abs(out["sdf_samples"])), sv)
+
+        loss = (losses["rgb_mse"] * self.C(cfg["lambda_rgb_mse"], step)
+                + losses["rgb_l1"] * self.C(cfg["lambda_rgb_l1"], step)
+                + losses["eikonal"] * self.C(cfg["lambda_eikonal"], step)
+                + losses["mask"] * self.C(cfg["lambda_mask"], step)
+                + losses["opaque"] * self.C(cfg["lambda_opaque"], step)
+                + losses["sparsity"] * self.C(cfg["lambda_sparsity"], step))
+        lam_dist = cfg.get("lambda_distortion", 0.0)
+        if isinstance(lam_dist, (list, tuple)) or lam_dist > 0:
+            ld = distortion_loss(
+                out["weights"], out["points"], out["intervals"],
+                out["ray_indices"], out["ray_start"], out["samples_valid"],
+                batch["rgb"].shape[0]) / jnp.maximum(m.sum(), 1.0)
+            losses["distortion"] = ld
+            loss = loss + ld * self.C(lam_dist, step)
+        return loss, losses
+
+    # ------------------------------------------------------------------ #
+    def make_train_step(self):
+        model = self.model
+        tx = self.tx
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def train_step(state, rng, data):
+            step = state["step"]
+            k_batch, k_model = jax.random.split(rng)
+            batch = self.sample_batch(k_batch, data)
+
+            def loss_fn(params):
+                out = model.forward(
+                    params, batch["rays"], occ_binary=state["occ_binary"],
+                    step=step, rng=k_model, train=True,
+                    capacity=self.capacity,
+                    background_color=batch["bg"])
+                loss, losses = self.compute_losses(out, batch, step)
+                aux = {k: v for k, v in losses.items()}
+                aux["inv_s"] = out["inv_s"]
+                aux["num_samples"] = out["num_samples"]
+                aux["num_rays"] = out["ray_included"].sum()
+                return loss, aux
+
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"])
+            updates, opt_state = tx.update(grads, state["opt_state"],
+                                           state["params"])
+            params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state["params"], updates)
+            aux["loss"] = loss
+            new_state = {
+                "params": params, "opt_state": opt_state,
+                "occs": state["occs"], "occ_binary": state["occ_binary"],
+                "step": step + 1,
+            }
+            return new_state, aux
+
+        return train_step
+
+    # ------------------------------------------------------------------ #
+    def make_render_chunk(self):
+        model = self.model
+
+        @jax.jit
+        def render_chunk(params, occ_binary, rays, step):
+            out = model.forward(
+                params, rays, occ_binary=occ_binary, step=step, rng=None,
+                train=False, capacity=self.eval_capacity,
+                background_color=jnp.ones((3,)))
+            keep = ["comp_rgb_full", "comp_normal", "opacity", "depth"]
+            return {k: out[k] for k in keep if k in out}
+
+        return render_chunk
+
+    def render_image(self, state, split, index: int,
+                     render_chunk=None) -> Dict[str, np.ndarray]:
+        if render_chunk is None:
+            render_chunk = self.make_render_chunk()
+        dirs = np.asarray(split.directions)
+        c2w = np.asarray(split.all_c2w[index])
+        rays_o, rays_d = get_rays(jnp.asarray(dirs), jnp.asarray(c2w))
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays = jnp.concatenate([rays_o, rays_d], -1)
+        n = rays.shape[0]
+        outs = []
+        for s in range(0, n, self.eval_chunk):
+            chunk = rays[s:s + self.eval_chunk]
+            pad = self.eval_chunk - chunk.shape[0]
+            if pad:
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+            res = render_chunk(state["params"], state["occ_binary"], chunk,
+                               state["step"])
+            outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
+                         for k, v in res.items()})
+        return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    # ------------------------------------------------------------------ #
+    def fit(self, max_steps: Optional[int] = None, seed: int = 42,
+            state=None, log_every: int = 100,
+            val_every: Optional[int] = None, on_log=None):
+        cfg_tr = self.config["trainer"]
+        max_steps = max_steps or int(cfg_tr["max_steps"])
+        if state is None:
+            state = self.init_state(seed)
+        elif self.tx is None:
+            self.init_state(seed)  # build optimizer for resumed state
+        train_split = self.datamodule.train()
+        data = self.device_data(train_split)
+        train_step = self.make_train_step()
+        occ_update = self.occupancy_update_fn()
+        rng = jax.random.PRNGKey(seed + 1)
+        t0 = time.time()
+        start = int(state["step"])
+        for step in range(start, max_steps):
+            if self.grid_prune and step % 16 == 0:
+                rng, k = jax.random.split(rng)
+                occs, binary = occ_update(state["params"], state["occs"],
+                                          state["step"], k)
+                state["occs"], state["occ_binary"] = occs, binary
+            rng, k = jax.random.split(rng)
+            state, aux = train_step(state, k, data)
+            if log_every and (step % log_every == 0 or step == max_steps - 1):
+                m = {k: float(v) for k, v in aux.items()}
+                m["steps_per_sec"] = (step - start + 1) / (time.time() - t0)
+                if on_log:
+                    on_log(step, m)
+                else:
+                    print(f"step {step}: loss={m['loss']:.4f} "
+                          f"psnr_proxy_mse={m['rgb_mse']:.5f} "
+                          f"inv_s={m['inv_s']:.1f} "
+                          f"rays={int(m['num_rays'])} "
+                          f"samples={int(m['num_samples'])} "
+                          f"sps={m['steps_per_sec']:.2f}", flush=True)
+            if val_every and step > 0 and step % val_every == 0:
+                self.validate(state, n_images=1)
+        self.save_checkpoint(state)
+        return state
+
+    # ------------------------------------------------------------------ #
+    def validate(self, state, n_images: Optional[int] = None):
+        split = self.datamodule.val()
+        render_chunk = self.make_render_chunk()
+        n = len(split) if n_images is None else min(n_images, len(split))
+        psnrs = []
+        for i in range(n):
+            out = self.render_image(state, split, i, render_chunk)
+            h, w = split.h, split.w
+            gt = np.asarray(split.all_images[i]).reshape(-1, 3)
+            mask = np.asarray(split.all_fg_masks[i]).reshape(-1, 1)
+            gt = gt * mask + 1.0 * (1 - mask)
+            p = float(psnr(jnp.asarray(out["comp_rgb_full"]), jnp.asarray(gt)))
+            psnrs.append(p)
+            step = int(state["step"])
+            self.saver.save_image_grid(f"it{step}-{i}.png", [
+                {"type": "rgb", "img": gt.reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC"}},
+                {"type": "rgb", "img": out["comp_rgb_full"].reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC"}},
+                {"type": "grayscale", "img": out["depth"].reshape(h, w),
+                 "kwargs": {}},
+                {"type": "rgb", "img": out["comp_normal"].reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC", "data_range": (-1, 1)}},
+            ])
+        mean_psnr = float(np.mean(psnrs))
+        print(f"val/psnr = {mean_psnr:.3f}", flush=True)
+        return {"psnr": mean_psnr}
+
+    def test(self, state):
+        split = self.datamodule.test()
+        render_chunk = self.make_render_chunk()
+        psnrs = []
+        step = int(state["step"])
+        for i in range(len(split)):
+            out = self.render_image(state, split, i, render_chunk)
+            h, w = split.h, split.w
+            gt = np.asarray(split.all_images[i]).reshape(-1, 3)
+            mask = np.asarray(split.all_fg_masks[i]).reshape(-1, 1)
+            gt = gt * mask + 1.0 * (1 - mask)
+            psnrs.append(float(psnr(jnp.asarray(out["comp_rgb_full"]),
+                                    jnp.asarray(gt))))
+            self.saver.save_image_grid(f"it{step}-test/{i}.png", [
+                {"type": "rgb", "img": gt.reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC"}},
+                {"type": "rgb", "img": out["comp_rgb_full"].reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC"}},
+                {"type": "grayscale", "img": out["depth"].reshape(h, w),
+                 "kwargs": {}},
+                {"type": "rgb", "img": out["comp_normal"].reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC", "data_range": (-1, 1)}},
+            ])
+        res = {"psnr": float(np.mean(psnrs))}
+        print(f"test/psnr = {res['psnr']:.3f}", flush=True)
+        self.saver.save_img_sequence(f"it{step}-test", f"it{step}-test",
+                                     r"(\d+)\.png")
+        self.export(state)
+        return res
+
+    # ------------------------------------------------------------------ #
+    def export(self, state):
+        from ..export import export_mesh
+
+        step = int(state["step"])
+        mesh = export_mesh(self.model, state, self.config)
+        if mesh is not None:
+            iso = self.config["model"]["geometry"]["isosurface"]
+            self.saver.save_mesh(
+                f"it{step}-{iso['method']}{iso['resolution']}.ply",
+                mesh["v_pos"], mesh["t_pos_idx"], mesh.get("v_rgb"))
+        return mesh

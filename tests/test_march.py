@@ -100,7 +100,8 @@ def test_transmittance_matches_cumprod():
         tr_ref = np.cumprod(np.concatenate([[1.0], 1 - a]))[:-1]
         w_ref = tr_ref * a
         got = w[ray_indices == ray]
-        np.testing.assert_allclose(got, w_ref, rtol=1e-5, atol=1e-6)
+        # log/exp-space scan vs direct cumprod: f32 agreement to ~1e-4
+        np.testing.assert_allclose(got, w_ref, rtol=5e-4, atol=1e-6)
     assert w[~valid].sum() == 0
 
 

@@ -1,0 +1,53 @@
+"""End-to-end smoke tests: tiny configs, few steps, both pipelines."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rise_sdf_tpu import datasets, systems
+from rise_sdf_tpu.config import ConfigNode
+
+
+from rise_sdf_tpu.presets import tiny_neus_config as neus_config, tiny_split_config as split_config, tiny_mlp, geometry_cfg
+
+@pytest.fixture(scope="module")
+def tmp_save(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("save"))
+
+
+def test_neus_end_to_end(tmp_save):
+    cfg = neus_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=tmp_save)
+    state = system.fit(max_steps=25, log_every=0)
+    assert int(state["step"]) == 25
+    leaves = jax.tree_util.tree_leaves(state["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    # occupancy grid pruned something but not everything
+    frac = float(np.asarray(state["occ_binary"]).mean())
+    assert 0.0 < frac <= 1.0
+    res = system.validate(state, n_images=1)
+    assert np.isfinite(res["psnr"]) and res["psnr"] > 5.0
+    # checkpoint roundtrip
+    path = system.save_checkpoint(state)
+    state2 = system.load_checkpoint(path, system.init_state(0))
+    assert int(state2["step"]) == 25
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(state2["params"])[0]),
+        np.asarray(jax.tree_util.tree_leaves(state["params"])[0]))
+
+
+def test_split_occ_end_to_end(tmp_save):
+    cfg = split_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=tmp_save)
+    # crosses the stage flip at step 10
+    state = system.fit(max_steps=15, log_every=0)
+    assert int(state["step"]) == 15
+    leaves = jax.tree_util.tree_leaves(state["params"])
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    res = system.validate(state, n_images=1)
+    assert np.isfinite(res["psnr"])
+    assert "phys_psnr" in res and np.isfinite(res["phys_psnr"])
