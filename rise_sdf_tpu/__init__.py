@@ -10,4 +10,12 @@ material export.
 
 __version__ = "0.1.0"
 
-from . import config, registry  # noqa: F401
+import os as _os
+
+# persistent XLA compilation cache: this host has a single CPU core, so
+# avoiding recompiles across processes matters enormously
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.jax_compile_cache"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+from . import config, registry  # noqa: F401,E402

@@ -29,6 +29,11 @@ os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
 
 
 def _read_exr(path: str) -> np.ndarray:
+    """EXR via the built-in reader; cv2 for other float formats."""
+    if str(path).endswith(".exr"):
+        from ..utils.exr import read_exr
+
+        return read_exr(str(path))
     import cv2
 
     img = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)

@@ -28,6 +28,15 @@ def _normalize(v, eps=1e-6):
     return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
 
 
+def contract_to_unisphere(x, radius):
+    """MipNeRF-360 unbounded-sphere contraction to [0,1]^3 (reference
+    models/geometry.py:17-29, UN_BOUNDED_SPHERE branch)."""
+    x = x / radius  # [-inf, inf], unit sphere at 1
+    mag = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    x = jnp.where(mag > 1.0, (2.0 - 1.0 / jnp.maximum(mag, 1e-9)) * (x / jnp.maximum(mag, 1e-9)), x)
+    return x / 4.0 + 0.5
+
+
 @register("volume-sdf")
 class VolumeSDF:
     def __init__(self, config):

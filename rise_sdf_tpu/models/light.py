@@ -39,6 +39,10 @@ def load_hdr_image(path: str) -> np.ndarray:
     Replaces the reference's cv2-based loader
     (``lib/pbr/utils/nvdiffrecmc_util.py:380-410``).
     """
+    if path.endswith(".exr"):
+        from ..utils.exr import read_exr
+
+        return np.ascontiguousarray(read_exr(path)[..., :3])
     os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
     import cv2
 
@@ -75,7 +79,11 @@ class EnvLightMipCube:
         while r > LIGHT_MIN_RES:
             r //= 2
             self.n_levels += 1
-        self._filters = None  # built lazily (heavy precompute)
+        # build filters eagerly so the precompute never runs under a
+        # jit trace (it is numpy, but lazy building from inside jit
+        # would bake avoidable overhead into tracing)
+        self._filters = None
+        _ = self.filters
 
     # ------------------------------------------------------------------ #
     def init(self, key) -> dict:
@@ -149,3 +157,65 @@ class EnvLightMipCube:
     def generate_image(self, params) -> jnp.ndarray:
         """Lat-long dump of the learned light (reference light.py:366-370)."""
         return cubemap_to_latlong(params["base"], (512, 1024))
+
+    # ------------------------------------------------------------------ #
+    # Importance sampling over a lat-long projection (reference
+    # light.py:215-364; unused by the shipped split-sum path but part of
+    # the MC toolbox).  The reference applies its lat-long pdf math to
+    # the cubemap tensor directly (latent bug); we project properly.
+    def update_pdf(self, params, res=(128, 256)):
+        """Returns {'pdf' [H,W], 'rows' [H+1], 'cols' [H, W+1]} CDF state."""
+        img = cubemap_to_latlong(params["base"], res)
+        h, w = res
+        y = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+        pdf = jnp.max(img, axis=-1) * jnp.sin(y * jnp.pi)[:, None]
+        pdf = jnp.maximum(pdf, 1e-6)
+        pdf = pdf / pdf.sum()
+        cols = jnp.cumsum(pdf, axis=1)
+        rows = jnp.cumsum(cols[:, -1])
+        cols = cols / jnp.maximum(cols[:, -1:], 1e-12)
+        rows = rows / jnp.maximum(rows[-1], 1e-12)
+        return {
+            "pdf": pdf,
+            "rows": jnp.concatenate([jnp.zeros((1,)), rows]),
+            "cols": jnp.concatenate([jnp.zeros((h, 1)), cols], axis=1),
+        }
+
+    def sample(self, pdf_state, rng, num_samples: int):
+        """Importance-sample directions from the environment CDFs."""
+        h, w = pdf_state["pdf"].shape
+        k1, k2 = jax.random.split(rng)
+        u1 = jax.random.uniform(k1, (num_samples,))
+        u2 = jax.random.uniform(k2, (num_samples,))
+        rows, cols = pdf_state["rows"], pdf_state["cols"]
+        ri = jnp.clip(jnp.searchsorted(rows, u1, side="right") - 1, 0, h - 1)
+        rfrac = (u1 - rows[ri]) / jnp.maximum(rows[ri + 1] - rows[ri], 1e-12)
+        crow = cols[ri]
+        ci = jnp.clip(
+            jax.vmap(lambda c, u: jnp.searchsorted(c, u, side="right"))(
+                crow, u2) - 1, 0, w - 1)
+        cfrac = (u2 - jnp.take_along_axis(crow, ci[:, None], 1)[:, 0]) \
+            / jnp.maximum(
+                jnp.take_along_axis(crow, ci[:, None] + 1, 1)[:, 0]
+                - jnp.take_along_axis(crow, ci[:, None], 1)[:, 0], 1e-12)
+        v = (ri + rfrac) / h
+        u = (ci + cfrac) / w
+        theta = v * jnp.pi
+        phi = u * 2 * jnp.pi - jnp.pi
+        st, ct = jnp.sin(theta), jnp.cos(theta)
+        # matches the y-up lat-long convention of cubemap_to_latlong
+        return jnp.stack([st * jnp.sin(phi), ct, -st * jnp.cos(phi)], -1)
+
+    def pdf(self, pdf_state, directions):
+        """Solid-angle pdf of given directions under the lat-long CDF."""
+        h, w = pdf_state["pdf"].shape
+        x, y, z = directions[..., 0], directions[..., 1], directions[..., 2]
+        theta = jnp.arccos(jnp.clip(y, -1.0, 1.0))
+        phi = jnp.arctan2(x, -z)
+        u = (phi + jnp.pi) / (2 * jnp.pi)
+        v = theta / jnp.pi
+        ci = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        ri = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        sin_t = jnp.maximum(jnp.sin(theta), 1e-6)
+        scale = (h * w) / (2 * jnp.pi * jnp.pi)
+        return pdf_state["pdf"][ri, ci] * scale / sin_t

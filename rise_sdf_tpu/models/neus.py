@@ -62,14 +62,65 @@ class NeuSModel:
         self.geometry = make(config["geometry"]["name"], config["geometry"])
         self.texture = make(config["texture"]["name"], config["texture"])
         self.variance = Variance(config["variance"])
+        self.learned_background = bool(config.get("learned_background", False))
+        if self.learned_background:
+            self.geometry_bg = make(config["geometry_bg"]["name"],
+                                    config["geometry_bg"])
+            self.texture_bg = make(config["texture_bg"]["name"],
+                                   config["texture_bg"])
+            self.num_samples_per_ray_bg = int(
+                config.get("num_samples_per_ray_bg", 64))
+            self.near_plane_bg, self.far_plane_bg = 0.1, 1e3
 
     def init(self, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        return {
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        params = {
             "geometry": self.geometry.init(k1),
             "texture": self.texture.init(k2),
             "variance": self.variance.init(k3),
         }
+        if self.learned_background:
+            params["geometry_bg"] = self.geometry_bg.init(k4)
+            params["texture_bg"] = self.texture_bg.init(k5)
+        return params
+
+    # ------------------------------------------------------------------ #
+    def forward_bg(self, params, rays_o, rays_d, step):
+        """Learned background in contracted space (reference
+        models/neus.py:152-225): exponentially-spaced samples beyond the
+        foreground AABB, density field + radiance, dense masked weights.
+        """
+        from .geometry import contract_to_unisphere
+        from ..ops.volrend import render_weight_from_alpha_dense
+
+        n_rays = rays_o.shape[0]
+        s = self.num_samples_per_ray_bg
+        _, t_exit = march.ray_aabb_intersect(rays_o, rays_d, self.aabb_min,
+                                             self.aabb_max)
+        t0 = jnp.maximum(self.near_plane_bg,
+                         jnp.where(t_exit > 0, t_exit, self.near_plane_bg))
+        # log-spaced marching t0 -> far (the TPU analog of nerfacc's
+        # cone_angle growing steps)
+        frac = jnp.arange(s, dtype=jnp.float32)[None, :] / (s - 1)
+        t = t0[:, None] * (self.far_plane_bg / t0[:, None]) ** frac
+        t_mid = 0.5 * (t[:, 1:] + t[:, :-1])
+        dists = t[:, 1:] - t[:, :-1]
+        pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+        u = contract_to_unisphere(pos.reshape(-1, 3), self.radius)
+        density, feature = self.geometry_bg.forward(
+            params["geometry_bg"], u, step)
+        t_dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape).reshape(-1, 3)
+        rgb = self.texture_bg.apply(params["texture_bg"], feature, t_dirs,
+                                    step=step)
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(density).reshape(n_rays, s - 1)
+                              * dists)
+        live = jnp.ones_like(alpha, bool)
+        w, _ = render_weight_from_alpha_dense(alpha, live)
+        comp_rgb = jnp.einsum("rs,rsc->rc", w, rgb.reshape(n_rays, s - 1, 3))
+        opacity = w.sum(-1, keepdims=True)
+        depth = (w * t_mid).sum(-1, keepdims=True)
+        return {"comp_rgb": comp_rgb, "opacity": opacity, "depth": depth,
+                "rays_valid": opacity > 0}
 
     # ------------------------------------------------------------------ #
     def cos_anneal_ratio(self, step):
@@ -128,7 +179,12 @@ class NeuSModel:
         comp_rgb, comp_normal = acc[:, 0:3], acc[:, 3:6]
         depth, opacity = acc[:, 6:7], acc[:, 7:8]
 
-        bg = jnp.broadcast_to(background_color[None, :], comp_rgb.shape)
+        if self.learned_background:
+            bg_out = self.forward_bg(params, rays_o, rays_d, step)
+            bg = bg_out["comp_rgb"] + background_color[None, :] \
+                * (1.0 - bg_out["opacity"])
+        else:
+            bg = jnp.broadcast_to(background_color[None, :], comp_rgb.shape)
         out = {
             "comp_rgb": comp_rgb,
             "comp_normal": _normalize(comp_normal),
@@ -141,6 +197,8 @@ class NeuSModel:
             "rays_valid_full": opacity > 0,
             "inv_s": inv_s,
         }
+        if self.learned_background:
+            out["comp_rgb_bg"] = bg
         if train:
             out.update({
                 "sdf_samples": sdf,

@@ -207,6 +207,50 @@ class VolumeMixedMipSplitOcc:
         return diff_pbr + spec_pbr
 
 
+@register("volume-pbr")
+class VolumePBR:
+    """Monte-Carlo GGX path (reference texture.py:436-537, the MC
+    alternative to split-sum).  Uses the ``brdf-ggx`` scatterer for
+    sample/pdf/eval and the emitter's raw base lookup."""
+
+    def __init__(self, config):
+        from . import make as _make
+
+        self.config = config
+        self.scatterer = _make(config["scatterer"]["name"],
+                               config["scatterer"])
+        self.global_illumination = bool(config.get("global_illumination",
+                                                   True))
+
+    def init(self, key):
+        return {"scatterer": self.scatterer.init(key)}
+
+    def apply(self, params, positions, dirs, normals, albedo, roughness,
+              metallic, compute_indirect, emitter, emitter_params, rng):
+        wi = -dirs
+        secondary_d = jax.lax.stop_gradient(self.scatterer.sample(
+            rng, n=normals, wi=wi, alpha_x=roughness[..., 0],
+            alpha_y=roughness[..., 0], albedo=albedo, metallic=metallic))
+        secondary_o = positions
+        secondary_tr, secondary_rgb = compute_indirect(secondary_o,
+                                                       secondary_d)
+        pdf = self.scatterer.pdf(
+            n=normals, wi=wi, wo=secondary_d, alpha_x=roughness[..., 0],
+            alpha_y=roughness[..., 0], albedo=albedo, metallic=metallic)
+        pdf = jnp.where(pdf > 0, pdf, jnp.ones_like(pdf))
+        diff, spec = self.scatterer.eval(
+            wi=wi, n=normals, wo=secondary_d, alpha_x=roughness[..., 0],
+            alpha_y=roughness[..., 0], albedo=albedo, metallic=metallic)
+        em_li = emitter.eval_base(emitter_params, secondary_d)
+        li = em_li * secondary_tr
+        if self.global_illumination:
+            li = li + secondary_rgb
+        lo_diff = (1.0 - metallic) * albedo * li * diff / pdf
+        lo_spec = li * spec / pdf
+        return {"rgb_phys": lo_diff + lo_spec, "diffuse_color": lo_diff,
+                "specular_color": lo_spec}
+
+
 @register("volume-split-sum-mip-occ")
 class VolumeSplitSumMip(VolumeMixedMipSplitOcc):
     """Pure split-sum variant (no NN radiance branch), texture.py:96-232.

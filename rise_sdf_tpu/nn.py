@@ -113,6 +113,11 @@ class MLP:
         self.output_activation = get_activation(config.get("output_activation"))
         # hidden activation: Softplus(100) under sphere init, else ReLU
         self.hidden_activation = softplus100 if self.sphere_init else jax.nn.relu
+        # bf16 matmuls with f32 accumulation/params (MXU fast path);
+        # params and outputs stay f32
+        self.compute_dtype = {
+            "float32": jnp.float32, "bfloat16": jnp.bfloat16,
+        }[str(config.get("compute_dtype", "float32"))]
         dims = [dim_in] + [self.n_neurons] * self.n_hidden_layers + [dim_out]
         self.dims = dims
 
@@ -175,14 +180,22 @@ class MLP:
 
     def apply(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
         layers = params["layers"]
-        h = x
+        cdt = self.compute_dtype
+        h = x.astype(cdt) if cdt != jnp.float32 else x
         n = len(layers)
         for i, layer in enumerate(layers):
             w = self._weight(layer)
-            h = h @ w.T + layer["b"]
+            if cdt != jnp.float32:
+                h = jax.lax.dot_general(
+                    h.astype(cdt), w.T.astype(cdt),
+                    dimension_numbers=(((h.ndim - 1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + layer["b"]
+            else:
+                h = h @ w.T + layer["b"]
             if i < n - 1:
                 h = self.hidden_activation(h)
-        return self.output_activation(h)
+        return self.output_activation(h.astype(jnp.float32))
 
     def __call__(self, params, x):
         return self.apply(params, x)

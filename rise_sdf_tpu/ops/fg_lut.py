@@ -60,8 +60,8 @@ def integrate_fg(n_o_v: np.ndarray, roughness: np.ndarray,
     noh = np.clip(hz, 0.0, 1.0)
     voh = np.clip(v_dot_h, 0.0, 1.0)
 
-    # Smith GGX visibility for IBL (Karis k = alpha^2 / 2)
-    k = alpha ** 2 / 2.0
+    # Smith GGX visibility for IBL (Karis: k = alpha / 2, alpha = rough^2)
+    k = alpha / 2.0
     g_v = nov / (nov * (1.0 - k) + k)
     g_l = nol / (nol * (1.0 - k) + k)
     g = g_v * g_l

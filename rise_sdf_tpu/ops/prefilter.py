@@ -40,11 +40,30 @@ LIGHT_MIN_RES = 16
 
 
 def _np_face_dirs(res: int) -> np.ndarray:
-    return np.asarray(face_directions(res)).reshape(-1, 3)
+    """Pure-numpy texel directions (safe to call during jit tracing)."""
+    g = (np.arange(res, dtype=np.float64) + 0.5) / res * 2.0 - 1.0
+    v, u = np.meshgrid(g, g, indexing="ij")
+    one = np.ones_like(u)
+    faces = [
+        np.stack([one, -v, -u], -1), np.stack([-one, -v, u], -1),
+        np.stack([u, one, v], -1), np.stack([u, -one, -v], -1),
+        np.stack([u, -v, one], -1), np.stack([-u, -v, -one], -1),
+    ]
+    dirs = np.stack(faces, 0)
+    dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+    return dirs.reshape(-1, 3)
 
 
 def _np_areas(res: int) -> np.ndarray:
-    a = np.asarray(texel_solid_angle(res))
+    """Pure-numpy per-texel solid angles, tiled over the 6 faces."""
+    def integrate(x, y):
+        return np.arctan2(x * y, np.sqrt(x * x + y * y + 1.0))
+
+    e = np.linspace(-1.0, 1.0, res + 1)
+    x0, x1 = e[:-1][:, None], e[1:][:, None]
+    y0, y1 = e[:-1][None, :], e[1:][None, :]
+    a = (integrate(x1, y1) - integrate(x0, y1)
+         - integrate(x1, y0) + integrate(x0, y0))
     return np.tile(a[None], (6, 1, 1)).reshape(-1)
 
 
@@ -64,13 +83,17 @@ def ggx_cutoff_costheta(roughness: float, cutoff: float = 0.99) -> float:
 
 
 @lru_cache(maxsize=8)
-def diffuse_filter_matrix(res: int = LIGHT_MIN_RES) -> jnp.ndarray:
-    """[6res^2, 6res^2] cosine-hemisphere filter (cubemap.cu diffuse fwd)."""
+def diffuse_filter_matrix(res: int = LIGHT_MIN_RES) -> np.ndarray:
+    """[6res^2, 6res^2] cosine-hemisphere filter (cubemap.cu diffuse fwd).
+
+    Cached as *numpy* so a first call from inside a jit trace cannot
+    leak a tracer into the cache.
+    """
     dirs = _np_face_dirs(res)
     areas = _np_areas(res)
     dots = np.clip(dirs @ dirs.T, 0.0, 0.999)
     w = dots * areas[None, :] / np.pi
-    return jnp.asarray(w, jnp.float32)
+    return w.astype(np.float32)
 
 
 def apply_diffuse_filter(cubemap: jnp.ndarray) -> jnp.ndarray:
@@ -86,9 +109,9 @@ class SpecularLevelFilter(NamedTuple):
 
     target_res: int           # output resolution N
     work_res: int             # filtering resolution M (input from mip chain)
-    dense: Optional[jnp.ndarray]   # [T,T] if dense mode
-    idx: Optional[jnp.ndarray]     # [T,K] int32 if sparse mode
-    w: Optional[jnp.ndarray]       # [T,K] float32
+    dense: Optional[np.ndarray]   # [T,T] if dense mode
+    idx: Optional[np.ndarray]     # [T,K] int32 if sparse mode
+    w: Optional[np.ndarray]       # [T,K] float32
 
 
 def _choose_work_res(target_res: int, theta_c: float,
@@ -152,8 +175,7 @@ def build_specular_level_filter(target_res: int,
                                    alpha_sqr, costheta_c)[0]
             for s in range(0, t, block)
         ], axis=0)
-        return SpecularLevelFilter(target_res, work_res,
-                                   jnp.asarray(w_full), None, None)
+        return SpecularLevelFilter(target_res, work_res, w_full, None, None)
 
     # pass 2: top-nnz sparse extraction per row block
     idx_rows, w_rows = [], []
@@ -164,10 +186,11 @@ def build_specular_level_filter(target_res: int,
         w_sp = np.take_along_axis(w, order, axis=1)
         idx_rows.append(order.astype(np.int32))
         w_rows.append(w_sp)
+    # numpy payloads: safe to cache regardless of trace context
     return SpecularLevelFilter(
         target_res, work_res, None,
-        jnp.asarray(np.concatenate(idx_rows, axis=0)),
-        jnp.asarray(np.concatenate(w_rows, axis=0)),
+        np.concatenate(idx_rows, axis=0),
+        np.concatenate(w_rows, axis=0),
     )
 
 

@@ -1,0 +1,100 @@
+"""Sampling / BSDF math toolbox (GGX importance sampling, Fresnel, Smith).
+
+jnp port of the semantics of the reference's Monte-Carlo toolbox
+(``lib/pbr/utils/warp_utils.py``): local frames, hemisphere/GGX-VNDF
+samplers and the microfacet terms used by the ``brdf-ggx`` scatterer
+(``models/texture.py:436-537``).  The shipped split-sum pipeline doesn't
+need these, but the MC path (``volume-pbr``) does, and they double as
+test oracles for the FG LUT.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def coordinate_system(n):
+    """Build an orthonormal frame (t, b) around normal n [..., 3]
+    (Duff et al. branchless ONB)."""
+    sign = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = jnp.stack([1.0 + sign * n[..., 0] ** 2 * a, sign * b,
+                   -sign * n[..., 0]], -1)
+    bt = jnp.stack([b, sign + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    return t, bt
+
+
+def to_local(v, n):
+    t, b = coordinate_system(n)
+    return jnp.stack([jnp.sum(v * t, -1), jnp.sum(v * b, -1),
+                      jnp.sum(v * n, -1)], -1)
+
+
+def to_world(v, n):
+    t, b = coordinate_system(n)
+    return v[..., 0:1] * t + v[..., 1:2] * b + v[..., 2:3] * n
+
+
+def square_to_cosine_hemisphere(u):
+    """u in [0,1]^2 -> cosine-weighted hemisphere direction (local +z)."""
+    r = jnp.sqrt(u[..., 0])
+    phi = 2 * math.pi * u[..., 1]
+    x = r * jnp.cos(phi)
+    y = r * jnp.sin(phi)
+    z = jnp.sqrt(jnp.clip(1 - u[..., 0], 0.0, 1.0))
+    return jnp.stack([x, y, z], -1)
+
+
+def fresnel_schlick(f0, cos_theta):
+    return f0 + (1.0 - f0) * jnp.clip(1.0 - cos_theta, 0.0, 1.0) ** 5
+
+
+def eval_ggx_ndf(alpha, cos_theta_h):
+    c = jnp.clip(cos_theta_h, 0.0, 1.0)
+    a2 = alpha * alpha
+    d = (c * a2 - c) * c + 1.0
+    return a2 / jnp.maximum(d * d * math.pi, 1e-12)
+
+
+def smith_ggx_g1(alpha, cos_theta):
+    c = jnp.clip(cos_theta, 1e-6, 1.0)
+    a2 = alpha * alpha
+    t2 = (1.0 - c * c) / (c * c)
+    return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * t2))
+
+
+def sample_ggx_vndf(wi_local, alpha, u):
+    """Visible-NDF GGX sampling (Heitz 2018). wi_local [...,3], u [...,2]."""
+    vh = jnp.stack([alpha * wi_local[..., 0], alpha * wi_local[..., 1],
+                    wi_local[..., 2]], -1)
+    vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True), 1e-9)
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-12))
+    t1 = jnp.where(lensq[..., None] > 1e-7,
+                   jnp.stack([-vh[..., 1], vh[..., 0],
+                              jnp.zeros_like(vh[..., 0])], -1) * inv[..., None],
+                   jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), vh.shape))
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u[..., 0])
+    phi = 2 * math.pi * u[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.clip(1.0 - p1 ** 2, 0.0, 1.0)) + s * p2
+    p3 = jnp.sqrt(jnp.clip(1.0 - p1 ** 2 - p2 ** 2, 0.0, 1.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    h = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+                   jnp.maximum(nh[..., 2], 0.0)], -1)
+    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+
+
+def eval_ggx_vndf_pdf(wi_local, h_local, alpha):
+    """pdf of sample_ggx_vndf in half-vector space."""
+    g1 = smith_ggx_g1(alpha, wi_local[..., 2])
+    d = eval_ggx_ndf(alpha, h_local[..., 2])
+    return g1 * d * jnp.clip(jnp.sum(wi_local * h_local, -1), 0.0, None) \
+        / jnp.maximum(wi_local[..., 2], 1e-6)

@@ -320,6 +320,23 @@ class NeuSSystem(BaseSystem):
         return res
 
     # ------------------------------------------------------------------ #
+    def predict(self, state, hdr_filepath=None):
+        """Render the predict split (e.g. the spheric trajectory the
+        colmap loader generates) into an image sequence."""
+        dm = self.datamodule
+        split = dm.predict() if hasattr(dm, "predict") else dm.test()
+        render_chunk = self.make_render_chunk()
+        step = int(state["step"])
+        for i in range(len(split)):
+            out = self.render_image(state, split, i, render_chunk)
+            h, w = split.h, split.w
+            self.saver.save_image_grid(f"it{step}-predict/{i}.png", [
+                {"type": "rgb", "img": out["comp_rgb_full"].reshape(h, w, 3),
+                 "kwargs": {"data_format": "HWC"}}])
+        self.saver.save_img_sequence(f"it{step}-predict",
+                                     f"it{step}-predict", r"(\d+)\.png")
+
+    # ------------------------------------------------------------------ #
     def export(self, state):
         from ..export import export_mesh
 

@@ -24,6 +24,7 @@ import numpy as np
 
 from . import register
 from .criterions import binary_cross_entropy, psnr, ssim
+from .lpips import available as lpips_available, lpips
 from .neus import NeuSSystem
 from ..utils.color import linear_to_srgb_np
 
@@ -297,10 +298,13 @@ class SplitOccSystem(NeuSSystem):
             self.config["dataset"].get("has_albedo", False)
         has_rough = hasattr(split, "all_roughness") and \
             self.config["dataset"].get("has_roughness", False)
+        use_lpips = lpips_available()
         agg = {k: [] for k in
-               ["psnr", "phys_psnr", "phys_ssim", "albedo_psnr",
-                "albedo_ssim", "roughness_psnr"]}
-        relight_agg = {l: {"psnr": [], "ssim": []} for l in self.relight_list}
+               ["psnr", "phys_psnr", "phys_ssim", "phys_lpips",
+                "albedo_psnr", "albedo_ssim", "albedo_lpips",
+                "roughness_psnr"]}
+        relight_agg = {l: {"psnr": [], "ssim": [], "lpips": []}
+                       for l in self.relight_list}
 
         relight_bases = {}
         for light in self.relight_list:
@@ -343,6 +347,9 @@ class SplitOccSystem(NeuSSystem):
                 agg["phys_ssim"].append(float(ssim(
                     jnp.asarray(pred_phys.reshape(h, w, 3)),
                     jnp.asarray(gt.reshape(h, w, 3)))))
+                if use_lpips:
+                    agg["phys_lpips"].append(lpips(
+                        pred_phys.reshape(h, w, 3), gt.reshape(h, w, 3)))
                 self.saver.save_image_grid(f"it{step}-test/{i}-pbr.png", [
                     {"type": "rgb", "img": gt.reshape(h, w, 3),
                      "kwargs": {"data_format": "HWC"}},
@@ -372,6 +379,9 @@ class SplitOccSystem(NeuSSystem):
                     agg["albedo_ssim"].append(float(ssim(
                         jnp.asarray(alb.reshape(h, w, 3)),
                         jnp.asarray(gt_alb.reshape(h, w, 3)))))
+                    if use_lpips:
+                        agg["albedo_lpips"].append(lpips(
+                            alb.reshape(h, w, 3), gt_alb.reshape(h, w, 3)))
                     self.saver.save_image_grid(
                         f"it{step}-test/{i}-albedo.png", [
                             {"type": "rgb", "img": gt_alb.reshape(h, w, 3),
@@ -399,6 +409,9 @@ class SplitOccSystem(NeuSSystem):
                     relight_agg[light]["ssim"].append(float(ssim(
                         jnp.asarray(pred.reshape(h, w, 3)),
                         jnp.asarray(gt_rel.reshape(h, w, 3)))))
+                    if use_lpips:
+                        relight_agg[light]["lpips"].append(lpips(
+                            pred.reshape(h, w, 3), gt_rel.reshape(h, w, 3)))
                     self.saver.save_image_grid(
                         f"it{step}-test/{i}-relight-{light}.png", [
                             {"type": "rgb", "img": gt_rel.reshape(h, w, 3),

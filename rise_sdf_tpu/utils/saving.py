@@ -75,11 +75,19 @@ class Saver:
         return path
 
     def _write_hdr(self, path: str, img: np.ndarray):
+        if path.endswith(".exr"):
+            from .exr import write_exr
+
+            write_exr(path, np.asarray(img, np.float32))
+            return
         import cv2
 
         bgr = np.ascontiguousarray(img[..., ::-1]).astype(np.float32)
-        ok = cv2.imwrite(path, bgr)
-        if not ok:  # e.g. exr support missing: fall back to .npy
+        try:
+            ok = cv2.imwrite(path, bgr)
+        except Exception:
+            ok = False
+        if not ok:
             np.save(path + ".npy", img)
 
     # -- sequences ------------------------------------------------------- #
