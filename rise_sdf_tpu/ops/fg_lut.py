@@ -76,7 +76,8 @@ def fg_lut(res: int = 256, cache_dir: str = "load/bsdf") -> np.ndarray:
     """[res, res, 2] fp32; row -> roughness, col -> NoV."""
     if res in _CACHE:
         return _CACHE[res]
-    path = os.path.join(cache_dir, f"fg_lut_{res}.npy")
+    # v2: fixed Smith k = alpha/2 (cache versioned to invalidate old files)
+    path = os.path.join(cache_dir, f"fg_lut_v2_{res}.npy")
     if os.path.exists(path):
         lut = np.load(path)
     else:

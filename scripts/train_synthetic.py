@@ -1,0 +1,86 @@
+"""Train the full pipeline on the procedural sphere scene (TPU-friendly).
+
+Validates learning dynamics end-to-end without external datasets: NeuS
+warmup -> split-sum PBR stage, reporting val PSNR along the way.
+
+Usage: python scripts/train_synthetic.py [--steps N] [--system split|neus]
+       [--res 128] [--out /tmp/synth]
+"""
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--system", default="split", choices=["split", "neus"])
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--kick", type=int, default=1000)
+    ap.add_argument("--out", default="/tmp/synth_train")
+    ap.add_argument("--rays", type=int, default=2048)
+    ap.add_argument("--capacity", type=int, default=131072)
+    ap.add_argument("--val-every", type=int, default=0)
+    args = ap.parse_args()
+
+    from rise_sdf_tpu import datasets, systems
+    from rise_sdf_tpu.presets import tiny_neus_config, tiny_split_config
+
+    cfg = tiny_split_config() if args.system == "split" else tiny_neus_config()
+    # scale the tiny preset up to a realistic-but-quick config
+    cfg.dataset.merge({"img_wh": [args.res, args.res], "n_images": 16})
+    geom_enc = {"n_levels": 12, "log2_hashmap_size": 17, "base_resolution": 16,
+                "per_level_scale": 1.447269237440378}
+    cfg.model.geometry.xyz_encoding_config.merge(geom_enc)
+    if args.system == "split":
+        cfg.model.geometry.xyz_encoding_config.merge(
+            {"start_level": 4, "start_step": args.kick // 4,
+             "update_steps": max(args.kick // 8, 1)})
+    cfg.model.geometry.mlp_network_config.merge({"n_neurons": 64,
+                                                 "n_hidden_layers": 1})
+    cfg.model.geometry.feature_dim = 16
+    cfg.model.merge({
+        "num_samples_per_ray": 512, "train_num_rays": args.rays,
+        "max_train_num_rays": args.rays,
+        "train_sample_capacity": args.capacity,
+        "eval_samples_per_ray": 96, "ray_chunk": 4096,
+        "grid_resolution": 64, "cos_anneal_end": args.kick,
+    })
+    if args.system == "split":
+        cfg.model.split_sum_kick_in_step = args.kick
+        cfg.model.num_samples_per_secondary_ray = 48
+        cfg.model.texture.input_feature_dim = 16
+        for head in ["metallic", "albedo", "spec", "roughness", "secondary"]:
+            cfg.model.texture[f"{head}_mlp_network_config"].merge(
+                {"n_neurons": 64, "n_hidden_layers": 2})
+        cfg.model.light.envlight_config.base_res = 128
+    else:
+        cfg.model.texture.input_feature_dim = 16 + 3
+        cfg.model.texture.mlp_network_config.merge({"n_neurons": 64,
+                                                    "n_hidden_layers": 2})
+    cfg.trainer.max_steps = args.steps
+    cfg.system.scheduler = {
+        "name": "SequentialLR", "milestones": [200],
+        "schedulers": [
+            {"name": "LinearLR", "args": {"start_factor": 0.01,
+                                          "end_factor": 1.0,
+                                          "total_iters": 200}},
+            {"name": "ExponentialLR",
+             "args": {"gamma": 0.1 ** (1.0 / max(args.steps - 200, 1))}},
+        ],
+    }
+
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=args.out)
+    t0 = time.time()
+    state = system.fit(max_steps=args.steps, log_every=100,
+                       val_every=args.val_every or None)
+    print(f"total train time {time.time() - t0:.1f}s", flush=True)
+    res = system.validate(state, n_images=2)
+    print("FINAL", res, flush=True)
+    return res
+
+
+if __name__ == "__main__":
+    main()
