@@ -114,30 +114,37 @@ class SpecularLevelFilter(NamedTuple):
     w: Optional[np.ndarray]       # [T,K] float32
 
 
+MAX_WORK_RES = 128  # precompute is O(T^2); 128^2*6 rows is the practical cap
+
+
 def _choose_work_res(target_res: int, theta_c: float,
                      max_radius_texels: float = 8.0) -> int:
     """Largest power-of-two resolution where the cone spans <= ~8 texels.
 
     Cone radius in texels at resolution M is ~ theta_c / ((pi/2)/M), so we
-    require M <= max_radius * pi / (2 * theta_c).
+    require M <= max_radius * pi / (2 * theta_c), capped at MAX_WORK_RES
+    (narrower kernels get a small stencil-radius floor instead — see
+    build_specular_level_filter).
     """
     if theta_c <= 1e-6:
-        return min(target_res, 64)
+        return min(target_res, MAX_WORK_RES)
     m_max = max_radius_texels * math.pi / (2.0 * theta_c)
     res = LIGHT_MIN_RES
-    while res * 2 <= min(target_res, int(m_max)):
+    while res * 2 <= min(target_res, MAX_WORK_RES, int(m_max)):
         res *= 2
-    return max(LIGHT_MIN_RES, min(res, target_res))
+    return max(LIGHT_MIN_RES, min(res, target_res, MAX_WORK_RES))
 
 
 def _specular_weights_rows(dirs, areas, rows, alpha_sqr, costheta_c):
-    """Normalized filter weights for a block of output texels. [B, T]."""
+    """Normalized filter weights for a block of output texels. [B, T].
+
+    With |L| = |V| = 1, dot(V, H) = dot(V, (L+V)/|L+V|) =
+    (1 + dot(L,V)) / sqrt(2 + 2 dot(L,V)) = sqrt((1 + dot(L,V)) / 2),
+    so the whole kernel is a function of the single dot-product matrix.
+    """
     v = dirs[rows]                                   # [B,3]
     dots = v @ dirs.T                                # [B,T] dot(L, VNR)
-    h = dirs[None, :, :] + v[:, None, :]             # [B,T,3]
-    h_norm = np.sqrt((h * h).sum(-1))
-    vnr_dot_h = np.clip((h * v[:, None, :]).sum(-1) / np.maximum(h_norm, 1e-8),
-                        0.0, 1.0)
+    vnr_dot_h = np.sqrt(np.clip((1.0 + dots) / 2.0, 0.0, 1.0))
     w = np.maximum(dots, 0.0) * ndf_ggx(alpha_sqr, vnr_dot_h) * areas[None, :] / 4.0
     mask = dots >= costheta_c
     mask[np.arange(len(rows)), rows] = True  # center texel always kept
@@ -152,6 +159,11 @@ def build_specular_level_filter(target_res: int,
     costheta_c = ggx_cutoff_costheta(roughness, cutoff)
     theta_c = math.acos(min(max(costheta_c, -1.0), 1.0))
     work_res = _choose_work_res(target_res, theta_c)
+    # stencil floor: at least ~2.5 texels so capped-resolution levels
+    # still average over a neighborhood (NDF weights keep the center
+    # dominant, so wider masks only help accuracy)
+    theta_floor = 2.5 * (math.pi / 2.0) / work_res
+    costheta_c = min(costheta_c, math.cos(min(theta_floor, math.pi / 2)))
 
     dirs = _np_face_dirs(work_res).astype(np.float32)
     areas = _np_areas(work_res).astype(np.float32)
@@ -213,6 +225,14 @@ def apply_specular_level_filter(filt: SpecularLevelFilter,
     return sample_cubemap(out, dirs)
 
 
+def _bank_cache_path(base_res: int, cutoff: float) -> str:
+    import os
+
+    d = os.path.expanduser("~/.cache/rise_sdf_tpu")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"prefilter_v1_{base_res}_{cutoff}.npz")
+
+
 @lru_cache(maxsize=4)
 def build_specular_filter_bank(base_res: int, cutoff: float = 0.99
                                ) -> Tuple[SpecularLevelFilter, ...]:
@@ -222,6 +242,22 @@ def build_specular_filter_bank(base_res: int, cutoff: float = 0.99
     base_res .. 16 with roughness ramp MIN..MAX over levels [0, n-2] and
     roughness 1.0 at the last level.
     """
+    import os
+
+    cache = _bank_cache_path(base_res, cutoff)
+    if os.path.exists(cache):
+        data = np.load(cache, allow_pickle=False)
+        n = int(data["n_levels"])
+        filters = []
+        for i in range(n):
+            dense = data[f"dense_{i}"] if f"dense_{i}" in data else None
+            idx = data[f"idx_{i}"] if f"idx_{i}" in data else None
+            w = data[f"w_{i}"] if f"w_{i}" in data else None
+            filters.append(SpecularLevelFilter(
+                int(data[f"target_{i}"]), int(data[f"work_{i}"]),
+                dense, idx, w))
+        return tuple(filters)
+
     resolutions = []
     r = base_res
     while r >= LIGHT_MIN_RES:
@@ -235,4 +271,18 @@ def build_specular_filter_bank(base_res: int, cutoff: float = 0.99
         rough = (idx / max(n - 2, 1)) * (MAX_ROUGHNESS - MIN_ROUGHNESS) + MIN_ROUGHNESS
         filters.append(build_specular_level_filter(resolutions[idx], rough, cutoff))
     filters.append(build_specular_level_filter(resolutions[-1], 1.0, cutoff))
+
+    payload = {"n_levels": np.asarray(len(filters))}
+    for i, f in enumerate(filters):
+        payload[f"target_{i}"] = np.asarray(f.target_res)
+        payload[f"work_{i}"] = np.asarray(f.work_res)
+        if f.dense is not None:
+            payload[f"dense_{i}"] = f.dense
+        else:
+            payload[f"idx_{i}"] = f.idx
+            payload[f"w_{i}"] = f.w
+    try:
+        np.savez(cache, **payload)
+    except OSError:
+        pass
     return tuple(filters)

@@ -107,7 +107,7 @@ def test_fg_lut_properties():
     a, b = lut[..., 0], lut[..., 1]
     # split-sum energy conservation: F0*A + B <= 1
     assert (a >= 0).all() and (b >= 0).all()
-    assert (a + b <= 1.0 + 1e-5).all()
+    assert (a + b <= 1.0 + 1e-3).all()
     # known property: at high NoV / low roughness, A -> ~1, B -> small
     assert a[2, -1] > 0.8
     assert b[2, -1] < 0.1
