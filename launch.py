@@ -11,6 +11,15 @@ Experiment layout (reference launch.py:55-60):
 
 from __future__ import annotations
 
+import os
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_compile_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import argparse
 import datetime
 import os
@@ -53,7 +62,26 @@ def main():
     config_dir = os.path.join(trial_dir, "config")
     for d in (save_dir, ckpt_dir, config_dir):
         os.makedirs(d, exist_ok=True)
+    # config snapshot (reference utils/callbacks.py:84-91): parsed + raw
     dump_config(config, os.path.join(config_dir, "parsed.yaml"))
+    try:
+        import shutil
+
+        shutil.copy(args.config, os.path.join(config_dir, "raw.yaml"))
+    except OSError:
+        pass
+    # code snapshot via git ls-files (reference utils/callbacks.py:56-70)
+    try:
+        import subprocess
+
+        files = subprocess.run(["git", "ls-files"], capture_output=True,
+                               text=True, check=True).stdout.split()
+        with open(os.path.join(trial_dir, "code_snapshot.txt"), "w") as f:
+            head = subprocess.run(["git", "rev-parse", "HEAD"],
+                                  capture_output=True, text=True).stdout.strip()
+            f.write(f"commit {head}\n" + "\n".join(files) + "\n")
+    except Exception:
+        pass
 
     seed = int(config.get("seed", 42))
     np.random.seed(seed)

@@ -12,6 +12,11 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# single-core host: multithreaded BLAS spin-waits burn the only core
+_os.environ.setdefault("OMP_NUM_THREADS", "1")
+_os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+_os.environ.setdefault("MKL_NUM_THREADS", "1")
+
 # persistent XLA compilation cache: this host has a single CPU core, so
 # avoiding recompiles across processes matters enormously
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
