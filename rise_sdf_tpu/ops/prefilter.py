@@ -170,40 +170,67 @@ def build_specular_level_filter(target_res: int,
     alpha = roughness * roughness
     alpha_sqr = alpha * alpha
     t = dirs.shape[0]
-    block = 4096
+    theta_eff = math.acos(min(max(costheta_c, -1.0), 1.0))
 
-    # pass 1: max stencil size
-    nnz = 0
-    for s in range(0, t, block):
-        rows = np.arange(s, min(s + block, t))
-        _, mask = _specular_weights_rows(dirs, areas, rows, alpha_sqr,
-                                         costheta_c)
-        nnz = max(nnz, int(mask.sum(axis=1).max()))
-
-    if nnz > t // 3 or work_res <= LIGHT_MIN_RES:
-        w_full = np.concatenate([
-            _specular_weights_rows(dirs, areas,
-                                   np.arange(s, min(s + block, t)),
-                                   alpha_sqr, costheta_c)[0]
-            for s in range(0, t, block)
-        ], axis=0)
+    if work_res <= LIGHT_MIN_RES or theta_eff > 0.9:
+        # wide kernels at low res: dense matrix
+        w_full, _ = _specular_weights_rows(dirs, areas, np.arange(t),
+                                           alpha_sqr, costheta_c)
         return SpecularLevelFilter(target_res, work_res, w_full, None, None)
 
-    # pass 2: top-nnz sparse extraction per row block
-    idx_rows, w_rows = [], []
-    for s in range(0, t, block):
-        rows = np.arange(s, min(s + block, t))
-        w, _ = _specular_weights_rows(dirs, areas, rows, alpha_sqr, costheta_c)
-        order = np.argpartition(-w, nnz - 1, axis=1)[:, :nnz]
-        w_sp = np.take_along_axis(w, order, axis=1)
-        idx_rows.append(order.astype(np.int32))
-        w_rows.append(w_sp)
+    # sparse path with geometric candidate pruning: process rows in small
+    # spatial tiles; only columns within (theta_c + tile radius) of the
+    # tile centroid can be in any row's stencil.  Keeps temporaries tiny
+    # (important: this host penalizes large page churn heavily).
+    tile = max(work_res // 8, 4)                    # tile x tile rows per face
+    rows_blocks = []
+    t_per_face = work_res * work_res
+    for f in range(6):
+        for ty in range(0, work_res, tile):
+            for tx in range(0, work_res, tile):
+                yy, xx = np.meshgrid(np.arange(ty, ty + tile),
+                                     np.arange(tx, tx + tile), indexing="ij")
+                rows_blocks.append(f * t_per_face + (yy * work_res + xx).reshape(-1))
+
+    # pass 1: nnz bound from one representative block per face region is
+    # not safe; compute per block but cheaply on the pruned columns
+    entries_idx = np.zeros((t,), object)
+    entries_w = np.zeros((t,), object)
+    nnz = 1
+    for rows in rows_blocks:
+        v = dirs[rows]
+        centroid = v.mean(0)
+        centroid /= max(np.linalg.norm(centroid), 1e-9)
+        cos_tile = float(np.min(v @ centroid))       # cos of tile radius
+        theta_tile = math.acos(min(max(cos_tile, -1.0), 1.0))
+        cand_cut = math.cos(min(theta_eff + theta_tile + 0.05, math.pi))
+        cand = np.nonzero(dirs @ centroid >= cand_cut)[0]
+        dots = v @ dirs[cand].T                      # [B, C] small
+        vnr_dot_h = np.sqrt(np.clip((1.0 + dots) / 2.0, 0.0, 1.0))
+        w = np.maximum(dots, 0.0) * ndf_ggx(alpha_sqr, vnr_dot_h) \
+            * areas[cand][None, :] / 4.0
+        mask = dots >= costheta_c
+        # keep the center texel of each row
+        center_local = np.searchsorted(cand, rows)
+        ok = (center_local < len(cand)) & (cand[np.minimum(
+            center_local, len(cand) - 1)] == rows)
+        mask[np.arange(len(rows))[ok], center_local[ok]] = True
+        w = np.where(mask, w, 0.0)
+        w /= np.maximum(w.sum(axis=1, keepdims=True), 1e-20)
+        nnz = max(nnz, int(mask.sum(axis=1).max()))
+        for i, r in enumerate(rows):
+            nz = np.nonzero(mask[i])[0]
+            entries_idx[r] = cand[nz].astype(np.int32)
+            entries_w[r] = w[i, nz].astype(np.float32)
+
+    idx_arr = np.zeros((t, nnz), np.int32)
+    w_arr = np.zeros((t, nnz), np.float32)
+    for r in range(t):
+        k = len(entries_idx[r])
+        idx_arr[r, :k] = entries_idx[r]
+        w_arr[r, :k] = entries_w[r]
     # numpy payloads: safe to cache regardless of trace context
-    return SpecularLevelFilter(
-        target_res, work_res, None,
-        np.concatenate(idx_rows, axis=0),
-        np.concatenate(w_rows, axis=0),
-    )
+    return SpecularLevelFilter(target_res, work_res, None, idx_arr, w_arr)
 
 
 def apply_specular_level_filter(filt: SpecularLevelFilter,
