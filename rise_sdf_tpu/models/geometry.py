@@ -98,8 +98,17 @@ class VolumeSDF:
 
     def forward(self, params, x_world, step=None, with_grad=True,
                 with_feature=True, with_laplace=False,
-                rng: Optional[jax.Array] = None):
-        """Returns dict with sdf [N], grad [N,3], feature [N,F], laplace [N]."""
+                rng: Optional[jax.Array] = None,
+                grad_mode: Optional[str] = None):
+        """Returns dict with sdf [N], grad [N,3], feature [N,F], laplace [N].
+
+        ``grad_mode`` overrides the configured grad type per call-site:
+        eval/secondary paths use 'analytic' even under FD training configs
+        because the analytic VJP reuses the forward's gathered hash-table
+        rows (zero extra gathers) while FD costs 6 extra encodes — and FD
+        converges to the analytic gradient as eps -> 0 anyway.
+        """
+        grad_type = grad_mode or self.grad_type
         out = {}
         raw = self.raw(params, x_world, step)
         sdf = raw[..., 0]
@@ -108,9 +117,9 @@ class VolumeSDF:
             out["feature"] = raw
 
         if with_grad:
-            if self.grad_type == "analytic":
+            if grad_type == "analytic":
                 out["grad"] = self.analytic_grad(params, x_world, step)
-            elif self.grad_type == "finite_difference":
+            elif grad_type == "finite_difference":
                 eps = self.fd_eps(step)
                 offsets = jnp.asarray(
                     [[1, 0, 0], [-1, 0, 0], [0, 1, 0],

@@ -26,6 +26,7 @@ from ..ops.cubemap import (
     nmf_latlong_to_cubemap,
     sample_cubemap,
     sample_cubemap_mips,
+    sample_cubemap_mips_atlas,
 )
 
 MIN_ROUGHNESS = prefilter.MIN_ROUGHNESS
@@ -147,7 +148,7 @@ class EnvLightMipCube:
             mip = self.get_mip(roughness)
             if mip.ndim == directions.ndim:
                 mip = mip[..., 0]
-            return sample_cubemap_mips(mips.specular, directions, mip)
+            return sample_cubemap_mips_atlas(mips.specular, directions, mip)
         return sample_cubemap(mips.diffuse, directions)
 
     def eval_base(self, params, directions):

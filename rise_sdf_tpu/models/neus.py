@@ -159,7 +159,8 @@ class NeuSModel:
         t_dirs = rays_d[ridx]
 
         geo = self.geometry.forward(params["geometry"], positions, step,
-                                    with_grad=True, with_feature=True)
+                                    with_grad=True, with_feature=True,
+                                    grad_mode=None if train else "analytic")
         sdf, sdf_grad, feature = geo["sdf"], geo["grad"], geo["feature"]
         normal = _normalize(sdf_grad)
         inv_s = self.variance.inv_s(params["variance"], step)

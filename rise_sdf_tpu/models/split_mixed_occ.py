@@ -86,7 +86,8 @@ class SplitMixedOccModel:
     def _alpha_at(self, params, positions, t_dirs, dists, step,
                   cos_anneal_ratio):
         geo = self.geometry.forward(params["geometry"], positions, step,
-                                    with_grad=True, with_feature=False)
+                                    with_grad=True, with_feature=False,
+                                    grad_mode="analytic")
         normal = _normalize(geo["grad"])
         inv_s = self.variance.inv_s(params["variance"], step)
         true_cos = jnp.sum(t_dirs * normal, -1)
@@ -150,7 +151,8 @@ class SplitMixedOccModel:
         want_laplace = self.fd_grad and train
         geo = self.geometry.forward(
             params["geometry"], positions, step, with_grad=True,
-            with_feature=True, with_laplace=want_laplace, rng=laplace_rng)
+            with_feature=True, with_laplace=want_laplace, rng=laplace_rng,
+            grad_mode=None if train else "analytic")
         sdf, sdf_grad, feature = geo["sdf"], geo["grad"], geo["feature"]
         normal = _normalize(sdf_grad)
         inv_s = self.variance.inv_s(params["variance"], step)
@@ -232,7 +234,7 @@ class SplitMixedOccModel:
                     third_o = sec_o + sec_depth * sec_d
                     tg = self.geometry.forward(
                         params["geometry"], third_o, step, with_grad=True,
-                        with_feature=True)
+                        with_feature=True, grad_mode="analytic")
                     third_normal = _normalize(tg["grad"])
                     third_rgb = self.texture.secondary_shading_pbr(
                         params["texture"], tg["feature"], sec_d, third_normal,

@@ -129,6 +129,55 @@ def sample_cubemap_mips(mips, dirs, mip_level):
     return s0 * (1 - frac) + s1 * frac
 
 
+def sample_cubemap_mips_atlas(mips, dirs, mip_level):
+    """Trilinear mip lookup via a flattened atlas — 8 taps per sample.
+
+    Functionally equivalent to ``sample_cubemap_mips`` (which evaluates
+    every level and one-hot selects, 4*n_levels taps) but gathers only
+    from the two bracketing levels; the winning formulation on TPU where
+    gathers dominate.  Levels must be a power-of-two pyramid.
+    """
+    n_levels = len(mips)
+    base_res = mips[0].shape[1]
+    c = mips[0].shape[-1]
+    atlas = jnp.concatenate([m.reshape(-1, c) for m in mips], axis=0)
+    sizes = [6 * m.shape[1] * m.shape[2] for m in mips]
+    offsets = jnp.asarray([0] + list(jnp.cumsum(jnp.asarray(sizes))[:-1]),
+                          jnp.int32)
+    log2_base = int(math.log2(base_res))
+
+    m = jnp.clip(mip_level, 0.0, n_levels - 1.0)
+    l0 = jnp.clip(jnp.floor(m).astype(jnp.int32), 0, n_levels - 1)
+    l1 = jnp.clip(l0 + 1, 0, n_levels - 1)
+    frac = (m - l0.astype(m.dtype))[..., None]
+
+    face, u, v = dir_to_face_uv(dirs)
+
+    def tap_level(l):
+        res = jnp.left_shift(1, log2_base - l)  # base_res >> l, per sample
+        resf = res.astype(jnp.float32)
+        fu = (u * 0.5 + 0.5) * resf - 0.5
+        fv = (v * 0.5 + 0.5) * resf - 0.5
+        u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, res - 1)
+        v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, res - 1)
+        u1 = jnp.minimum(u0 + 1, res - 1)
+        v1 = jnp.minimum(v0 + 1, res - 1)
+        wu = jnp.clip(fu - u0, 0.0, 1.0)[..., None]
+        wv = jnp.clip(fv - v0, 0.0, 1.0)[..., None]
+        off = offsets[l]
+
+        def tap(vi, ui):
+            return atlas[off + (face * res + vi) * res + ui]
+
+        top = tap(v0, u0) * (1 - wu) + tap(v0, u1) * wu
+        bot = tap(v1, u0) * (1 - wu) + tap(v1, u1) * wu
+        return top * (1 - wv) + bot * wv
+
+    s0 = tap_level(l0)
+    s1 = tap_level(l1)
+    return s0 * (1 - frac) + s1 * frac
+
+
 def avg_pool_cubemap(cubemap):
     """2x2 average-pool mip reduction ([6,N,N,C] -> [6,N/2,N/2,C]).
 
