@@ -110,7 +110,15 @@ class VolumeSDF:
         """
         grad_type = grad_mode or self.grad_type
         out = {}
-        raw = self.raw(params, x_world, step)
+        if with_grad and grad_type == "analytic":
+            # one forward + one VJP: features, sdf and position-gradient
+            # share the hash-table gathers (the VJP reuses the gathered
+            # corners as residuals — no second encode)
+            raw, vjp = jax.vjp(lambda p: self.raw(params, p, step), x_world)
+            cot = jnp.zeros_like(raw).at[..., 0].set(1.0)
+            out["grad"] = vjp(cot)[0]
+        else:
+            raw = self.raw(params, x_world, step)
         sdf = raw[..., 0]
         out["sdf"] = sdf
         if with_feature:
@@ -118,7 +126,7 @@ class VolumeSDF:
 
         if with_grad:
             if grad_type == "analytic":
-                out["grad"] = self.analytic_grad(params, x_world, step)
+                pass  # computed above
             elif grad_type == "finite_difference":
                 eps = self.fd_eps(step)
                 offsets = jnp.asarray(

@@ -182,16 +182,18 @@ class NeuSSystem(BaseSystem):
         return train_step
 
     # ------------------------------------------------------------------ #
-    def make_render_chunk(self):
+    def make_render_chunk(self, capacity=None):
         model = self.model
+        cap = capacity or self.eval_capacity
 
         @jax.jit
         def render_chunk(params, occ_binary, rays, step):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, step=step, rng=None,
-                train=False, capacity=self.eval_capacity,
+                train=False, capacity=cap,
                 background_color=jnp.ones((3,)))
-            keep = ["comp_rgb_full", "comp_normal", "opacity", "depth"]
+            keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
+                    "ray_included"]
             return {k: out[k] for k in keep if k in out}
 
         return render_chunk
@@ -214,9 +216,20 @@ class NeuSSystem(BaseSystem):
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"])
+            # overflow fallback: if the fixed sample budget dropped rays,
+            # re-render this chunk with a 4x buffer (compiled lazily once)
+            if "ray_included" in res and not bool(res["ray_included"].all()):
+                if not hasattr(render_chunk, "_fallback"):
+                    render_chunk._fallback = self._make_fallback_chunk(
+                        render_chunk)
+                res = render_chunk._fallback(
+                    state["params"], state["occ_binary"], chunk, state["step"])
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    def _make_fallback_chunk(self, render_chunk):
+        return self.make_render_chunk(capacity=self.eval_capacity * 4)
 
     # ------------------------------------------------------------------ #
     def fit(self, max_steps: Optional[int] = None, seed: int = 42,

@@ -112,8 +112,11 @@ class SplitOccSystem(NeuSSystem):
 
         return train_step
 
-    def make_render_chunk(self, stage: int = 1, relighting: bool = False):
+    def make_render_chunk(self, stage: int = 1, relighting: bool = False,
+                          capacity=None):
         model = self.model
+        cap = capacity or self.eval_capacity
+        self._chunk_args = (stage, relighting)
 
         @jax.jit
         def render_chunk(params, occ_binary, rays, step, emitter_base):
@@ -122,16 +125,19 @@ class SplitOccSystem(NeuSSystem):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, mips=mips, step=step,
                 rng=None, stage=stage, train=False, relighting=relighting,
-                capacity=self.eval_capacity,
+                capacity=cap,
                 background_color=jnp.ones((3,)))
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
-                    "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb"]
+                    "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
+                    "ray_included"]
             if stage != 0:
                 keep += ["comp_rgb_phys_full", "comp_albedo", "comp_metallic",
                          "comp_roughness", "comp_spec_rgb_phys",
                          "comp_diffuse_rgb_phys"]
             return {k: out[k] for k in keep if k in out}
 
+        render_chunk._stage = stage
+        render_chunk._relighting = relighting
         return render_chunk
 
     def render_image(self, state, split, index: int, render_chunk=None,
@@ -156,6 +162,15 @@ class SplitOccSystem(NeuSSystem):
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"], emitter_base)
+            if "ray_included" in res and not bool(res["ray_included"].all()):
+                if not hasattr(render_chunk, "_fallback"):
+                    render_chunk._fallback = self.make_render_chunk(
+                        getattr(render_chunk, "_stage", stage),
+                        getattr(render_chunk, "_relighting", False),
+                        capacity=self.eval_capacity * 4)
+                res = render_chunk._fallback(
+                    state["params"], state["occ_binary"], chunk,
+                    state["step"], emitter_base)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
