@@ -1,0 +1,65 @@
+"""Time the jitted training step (stage 0/1) at production scale."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+
+import time
+
+import jax
+import numpy as np
+
+
+def main():
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+    from rise_sdf_tpu import datasets, systems
+    from rise_sdf_tpu.config import load_config
+
+    cfg = load_config("configs/split-mixed-occ-tensoir.yaml",
+                      cli_args=["dataset.scene=bench",
+                                "dataset.name=synthetic-sphere",
+                                "dataset.img_wh=[256,256]",
+                                "dataset.n_images=4"])
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir="/tmp/ptrain")
+    state = system.init_state(0)
+    data = system.device_data(dm.train())
+
+    occ_update = system.occupancy_update_fn()
+    t0 = time.time()
+    occs, binary = occ_update(state["params"], state["occs"], state["step"],
+                              jax.random.PRNGKey(1))
+    jax.block_until_ready(binary)
+    print(f"occ update compile+run: {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    for i in range(3):
+        occs, binary = occ_update(state["params"], occs, state["step"],
+                                  jax.random.PRNGKey(i))
+    jax.block_until_ready(binary)
+    print(f"occ update steady: {(time.time() - t0) / 3 * 1e3:.1f} ms",
+          file=sys.stderr, flush=True)
+    state["occs"], state["occ_binary"] = occs, binary
+
+    for stage in (0, 1):
+        ts = system.make_train_step(stage)
+        t0 = time.time()
+        state, aux = ts(state, jax.random.PRNGKey(2), data)
+        jax.block_until_ready(aux["loss"])
+        print(f"stage{stage} compile+first: {time.time() - t0:.1f}s "
+              f"loss={float(aux['loss']):.4f}", file=sys.stderr, flush=True)
+        t0 = time.time()
+        n = 10
+        for i in range(n):
+            state, aux = ts(state, jax.random.PRNGKey(3 + i), data)
+        jax.block_until_ready(aux["loss"])
+        print(f"stage{stage} steady: {(time.time() - t0) / n * 1e3:.1f} "
+              f"ms/step rays={int(aux['num_rays'])} "
+              f"samples={int(aux['num_samples'])}",
+              file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()
