@@ -60,18 +60,24 @@ class VolumeSDF:
         """World [-r, r]^3 -> unit cube [0, 1]^3 (AABB contraction)."""
         return (x + self.radius) / (2.0 * self.radius)
 
-    def raw(self, params, x_world, step=None):
-        """-> [N, feature_dim]; channel 0 is the SDF."""
+    def raw(self, params, x_world, step=None, grad_impl="sorted"):
+        """-> [N, feature_dim]; channel 0 is the SDF.
+
+        grad_impl: 'sorted' = fast first-order table gradients; 'plain'
+        = ordinary autodiff (needed wherever the result's gradient is
+        differentiated again, e.g. analytic normals inside a training
+        loss or the curvature probe)."""
         u = self.contract(x_world)
-        enc = self.encoding.apply(params["encoding"], u, step)
+        enc = self.encoding.apply(params["encoding"], u, step,
+                                  grad_impl=grad_impl)
         out = self.mlp.apply(params["mlp"], enc)
         if self.sdf_activation is not None:
             sdf = get_activation(self.sdf_activation)(out[..., 0] + self.sdf_bias)
             out = jnp.concatenate([sdf[..., None], out[..., 1:]], axis=-1)
         return out
 
-    def sdf(self, params, x_world, step=None):
-        return self.raw(params, x_world, step)[..., 0]
+    def sdf(self, params, x_world, step=None, grad_impl="sorted"):
+        return self.raw(params, x_world, step, grad_impl=grad_impl)[..., 0]
 
     def forward_level(self, params, x_world, step=None):
         """SDF level for marching cubes (reference geometry.py:294-299)."""
@@ -93,7 +99,10 @@ class VolumeSDF:
         return 2.0 * self.radius / grid_res
 
     def analytic_grad(self, params, x_world, step=None):
-        g = jax.grad(lambda p: self.sdf(params, p, step).sum())(x_world)
+        # 'plain' encode: this gradient is itself differentiated by the
+        # losses (second-order), which custom_vjp does not support
+        g = jax.grad(lambda p: self.sdf(params, p, step,
+                                        grad_impl="plain").sum())(x_world)
         return g
 
     def forward(self, params, x_world, step=None, with_grad=True,
@@ -113,8 +122,11 @@ class VolumeSDF:
         if with_grad and grad_type == "analytic":
             # one forward + one VJP: features, sdf and position-gradient
             # share the hash-table gathers (the VJP reuses the gathered
-            # corners as residuals — no second encode)
-            raw, vjp = jax.vjp(lambda p: self.raw(params, p, step), x_world)
+            # corners as residuals — no second encode).  'plain' encode:
+            # training losses may differentiate through this gradient.
+            raw, vjp = jax.vjp(
+                lambda p: self.raw(params, p, step, grad_impl="plain"),
+                x_world)
             cot = jnp.zeros_like(raw).at[..., 0].set(1.0)
             out["grad"] = vjp(cot)[0]
         else:

@@ -238,7 +238,8 @@ class FrequencyEncoding:
         ptr = step / self.n_masking_step * self.n_freqs - arange
         return (1.0 - jnp.cos(math.pi * jnp.clip(ptr, 0.0, 1.0))) / 2.0
 
-    def apply(self, params: Params, x: jnp.ndarray, step=None) -> jnp.ndarray:
+    def apply(self, params: Params, x: jnp.ndarray, step=None,
+              **_kw) -> jnp.ndarray:
         x = x * self.x_scale + self.x_offset
         mask = self.mask(step if step is not None else self.n_masking_step + 1)
         outs = []
@@ -318,7 +319,8 @@ class SHEncoding:
     def init(self, key) -> Params:
         return {}
 
-    def apply(self, params: Params, x: jnp.ndarray, step=None) -> jnp.ndarray:
+    def apply(self, params: Params, x: jnp.ndarray, step=None,
+              **_kw) -> jnp.ndarray:
         d = x * 2.0 - 1.0
         return spherical_harmonics(d, self.degree)
 
@@ -348,8 +350,8 @@ class CompositeEncoding:
     def init(self, key) -> Params:
         return self.encoding.init(key)
 
-    def apply(self, params, x, step=None):
-        enc = self.encoding.apply(params, x, step)
+    def apply(self, params, x, step=None, **kw):
+        enc = self.encoding.apply(params, x, step, **kw)
         if not self.include_xyz:
             return enc
         return jnp.concatenate(
