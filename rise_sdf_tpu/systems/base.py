@@ -96,21 +96,35 @@ class BaseSystem:
         return out
 
     # ------------------------------------------------------------------ #
-    def occupancy_update_fn(self):
-        """Jitted occupancy-grid EMA sweep over all cells."""
+    def occupancy_update_fn(self, subset_fraction: int = 4):
+        """Jitted occupancy-grid EMA sweep.
+
+        Evaluates a rotating 1/``subset_fraction`` of the cells per update
+        (all cells refresh within 4 updates = 64 steps), the TPU analog of
+        nerfacc's 1/4-uniform + 1/4-occupied subsampling
+        (``lib/nerfacc/grid.py:196-239``) with static shapes.
+        """
         model = self.model
         res = model.grid_resolution
         thre = float(self.config["model"].get("grid_prune_occ_thre", 0.01))
+        n_cells = res ** 3
+        k = max(subset_fraction, 1)
 
         @jax.jit
         def update(params, occs, step, rng):
-            pos = occ_grid.cell_positions(res, model.aabb_min, model.aabb_max,
-                                          rng)
+            phase = (step // 16) % k
+            idx = jnp.arange(n_cells // k, dtype=jnp.int32) * k + phase
+            kk = idx % res
+            jj = (idx // res) % res
+            ii = idx // (res * res)
+            u = jax.random.uniform(rng, (n_cells // k, 3))
+            unit = (jnp.stack([ii, jj, kk], -1).astype(jnp.float32) + u) / res
+            pos = model.aabb_min + unit * (model.aabb_max - model.aabb_min)
             occ = model.occ_eval(params, pos, step)
-            state = occ_grid.OccupancyGridState(occs=occs,
-                                                binary=jnp.zeros_like(occs, bool))
-            new = occ_grid.update_grid(state, occ.reshape(-1), occ_thre=thre)
-            return new.occs, new.binary
+            new_vals = jnp.maximum(occs[idx] * 0.95, occ.reshape(-1))
+            occs = occs.at[idx].set(new_vals)
+            binary = occs > jnp.minimum(occs.mean(), thre)
+            return occs, binary
 
         return update
 
