@@ -60,13 +60,12 @@ class VolumeSDF:
         """World [-r, r]^3 -> unit cube [0, 1]^3 (AABB contraction)."""
         return (x + self.radius) / (2.0 * self.radius)
 
-    def raw(self, params, x_world, step=None, grad_impl="sorted"):
+    def raw(self, params, x_world, step=None, grad_impl="plain"):
         """-> [N, feature_dim]; channel 0 is the SDF.
 
-        grad_impl: 'sorted' = fast first-order table gradients; 'plain'
-        = ordinary autodiff (needed wherever the result's gradient is
-        differentiated again, e.g. analytic normals inside a training
-        loss or the curvature probe)."""
+        grad_impl: 'plain' = ordinary autodiff (default; also needed
+        wherever the result's gradient is differentiated again);
+        'sorted' = deterministic segment-reduction table gradients."""
         u = self.contract(x_world)
         enc = self.encoding.apply(params["encoding"], u, step,
                                   grad_impl=grad_impl)
@@ -76,7 +75,7 @@ class VolumeSDF:
             out = jnp.concatenate([sdf[..., None], out[..., 1:]], axis=-1)
         return out
 
-    def sdf(self, params, x_world, step=None, grad_impl="sorted"):
+    def sdf(self, params, x_world, step=None, grad_impl="plain"):
         return self.raw(params, x_world, step, grad_impl=grad_impl)[..., 0]
 
     def forward_level(self, params, x_world, step=None):

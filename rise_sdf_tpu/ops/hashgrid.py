@@ -192,8 +192,11 @@ class HashGridEncoding:
             prefix = jnp.concatenate(
                 [jnp.zeros((1, F), vals_s.dtype),
                  jnp.cumsum(vals_s, axis=0)], axis=0)
+            # method='sort': the default 'scan' lowers to a sequential
+            # while-loop on TPU (seconds); sort-merge is ~100ms
             bounds = jnp.searchsorted(
-                gid_s, jnp.arange(L * T + 1, dtype=jnp.int32))
+                gid_s, jnp.arange(L * T + 1, dtype=jnp.int32),
+                method="sort")
             d_table = (prefix[bounds[1:]] - prefix[bounds[:-1]]
                        ).reshape(L, T, F)
             d_x = sum(dfracs)
@@ -203,13 +206,14 @@ class HashGridEncoding:
         return encode
 
     def apply(self, params, x: jnp.ndarray, step=None,
-              grad_impl: str = "sorted") -> jnp.ndarray:
+              grad_impl: str = "plain") -> jnp.ndarray:
         """Encode ``x`` in [0,1]^3 -> [N, L*F] features (level-major).
 
-        grad_impl='sorted' uses the custom first-order VJP (fast table
-        grads); 'plain' keeps pure autodiff (supports higher-order AD,
-        used by the curvature probe and anything that differentiates
-        through the position gradient)."""
+        grad_impl='plain' (default) uses ordinary autodiff: XLA's
+        scatter-add table gradient measured *faster* on this TPU (46
+        ns/row) than the sorted prefix-sum VJP (62 ns/row — the sort
+        permutation gathers dominate); 'sorted' keeps the deterministic
+        segment-reduction VJP available (first-order only)."""
         table = params["table"]
         mask = self.level_mask(step if step is not None else 10 ** 9)
         if grad_impl == "sorted":
