@@ -25,7 +25,9 @@ from ..nn import get_activation, get_encoding, get_mlp
 
 
 def _normalize(v, eps=1e-6):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Zero-safe normalize: sqrt(sumsq + eps^2) keeps the gradient finite
+    at v = 0 (the max(norm, eps) form leaks NaN through sqrt'(0))."""
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps * eps)
 
 
 def contract_to_unisphere(x, radius):
@@ -66,7 +68,9 @@ class VolumeSDF:
         grad_impl: 'plain' = ordinary autodiff (default; also needed
         wherever the result's gradient is differentiated again);
         'sorted' = deterministic segment-reduction table gradients."""
-        u = self.contract(x_world)
+        # clamp into the unit cube: padded/garbage sample slots may lie
+        # outside the AABB, where trilinear extrapolation weights blow up
+        u = jnp.clip(self.contract(x_world), 0.0, 1.0)
         enc = self.encoding.apply(params["encoding"], u, step,
                                   grad_impl=grad_impl)
         out = self.mlp.apply(params["mlp"], enc)

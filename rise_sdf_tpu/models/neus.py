@@ -20,7 +20,8 @@ from ..ops import march, volrend
 
 
 def _normalize(v, eps=1e-6):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Zero-safe normalize (finite gradient at v = 0)."""
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps * eps)
 
 
 def neus_alpha(sdf, inv_s, true_cos, dists, cos_anneal_ratio):

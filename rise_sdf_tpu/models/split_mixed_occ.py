@@ -28,7 +28,8 @@ from ..utils.color import rgb_to_srgb
 
 
 def _normalize(v, eps=1e-6):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+    """Zero-safe normalize (finite gradient at v = 0)."""
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps * eps)
 
 
 @register("split-mixed-occ")

@@ -109,7 +109,11 @@ class NeuSSystem(BaseSystem):
         diff = out["comp_rgb_full"] - batch["rgb"]
         losses["rgb_mse"] = self.masked_mean(diff ** 2, sel)
         losses["rgb_l1"] = self.masked_mean(jnp.abs(diff), sel)
-        grad_norm = jnp.linalg.norm(out["sdf_grad_samples"], axis=-1)
+        # safe norm: garbage (padded / clipped-outside-AABB) slots can have
+        # an exactly-zero gradient; sqrt'(0) = inf leaks NaN through the
+        # masked mean (0 * inf), so keep the argument strictly positive
+        grad_norm = jnp.sqrt(
+            jnp.sum(out["sdf_grad_samples"] ** 2, axis=-1) + 1e-12)
         losses["eikonal"] = self.masked_mean((grad_norm - 1.0) ** 2, sv)
         opacity = jnp.clip(out["opacity"][:, 0], 1e-3, 1 - 1e-3)
         m = jnp.where(inc, 1.0, 0.0)
