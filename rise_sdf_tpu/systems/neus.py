@@ -221,7 +221,7 @@ class NeuSSystem(BaseSystem):
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"])
             # overflow fallback: if the fixed sample budget dropped rays,
-            # re-render this chunk with a 4x buffer (compiled lazily once)
+            # re-render this chunk with a 2x buffer (compiled lazily once)
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 if not hasattr(render_chunk, "_fallback"):
                     render_chunk._fallback = self._make_fallback_chunk(
@@ -233,7 +233,7 @@ class NeuSSystem(BaseSystem):
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
     def _make_fallback_chunk(self, render_chunk):
-        return self.make_render_chunk(capacity=self.eval_capacity * 4)
+        return self.make_render_chunk(capacity=self.eval_capacity * 2)
 
     # ------------------------------------------------------------------ #
     def fit(self, max_steps: Optional[int] = None, seed: int = 42,

@@ -167,7 +167,7 @@ class SplitOccSystem(NeuSSystem):
                     render_chunk._fallback = self.make_render_chunk(
                         getattr(render_chunk, "_stage", stage),
                         getattr(render_chunk, "_relighting", False),
-                        capacity=self.eval_capacity * 4)
+                        capacity=self.eval_capacity * 2)
                 res = render_chunk._fallback(
                     state["params"], state["occ_binary"], chunk,
                     state["step"], emitter_base)
