@@ -207,6 +207,36 @@ class EnvLightMipCube:
         # matches the y-up lat-long convention of cubemap_to_latlong
         return jnp.stack([st * jnp.sin(phi), ct, -st * jnp.cos(phi)], -1)
 
+    def sample_stratified(self, rng, batch_size: int, n_rows: int,
+                          n_cols: int, jitter: bool = True):
+        """Stratified env-map direction sampling (reference
+        light.py:50-120, from TensoIR).  Returns (dirs [B*H*W, 3],
+        inv_pdf [B*H*W, 1])."""
+        lat_step = jnp.pi / n_rows
+        lng_step = 2 * jnp.pi / n_cols
+        theta = jnp.linspace(jnp.pi / 2 - 0.5 * lat_step,
+                             -jnp.pi / 2 + 0.5 * lat_step, n_rows)
+        phi = jnp.linspace(jnp.pi - 0.5 * lng_step,
+                           -jnp.pi + 0.5 * lng_step, n_cols)
+        theta, phi = jnp.meshgrid(theta, phi, indexing="ij")
+        sin_t = jnp.sin(jnp.pi / 2 - theta)
+        inv_pdf = 4 * jnp.pi * sin_t / jnp.sum(sin_t)
+        inv_pdf = jnp.tile(inv_pdf[None], (batch_size, 1, 1))
+        if jitter and rng is not None:
+            k1, k2 = jax.random.split(rng)
+            phi = phi[None] + lng_step * (
+                jax.random.uniform(k1, (batch_size, n_rows, n_cols)) - 0.5)
+            theta = theta[None] + lat_step * (
+                jax.random.uniform(k2, (batch_size, n_rows, n_cols)) - 0.5)
+        else:
+            theta = jnp.tile(theta[None], (batch_size, 1, 1))
+            phi = jnp.tile(phi[None], (batch_size, 1, 1))
+        dirs = jnp.stack([jnp.cos(phi) * jnp.cos(theta),
+                          jnp.sin(phi) * jnp.cos(theta),
+                          jnp.sin(theta)], -1)
+        dirs = dirs / jnp.sqrt(jnp.sum(dirs ** 2, -1, keepdims=True) + 1e-12)
+        return dirs.reshape(-1, 3), inv_pdf.reshape(-1, 1)
+
     def pdf(self, pdf_state, directions):
         """Solid-angle pdf of given directions under the lat-long CDF."""
         h, w = pdf_state["pdf"].shape

@@ -98,3 +98,93 @@ def eval_ggx_vndf_pdf(wi_local, h_local, alpha):
     d = eval_ggx_ndf(alpha, h_local[..., 2])
     return g1 * d * jnp.clip(jnp.sum(wi_local * h_local, -1), 0.0, None) \
         / jnp.maximum(wi_local[..., 2], 1e-6)
+
+
+# ---------------------------------------------------------------------- #
+# Analytic BSDF terms (python mirrors of lib/renderutils/bsdf.py — the
+# reference's own test oracles for its CUDA kernels)
+# ---------------------------------------------------------------------- #
+
+
+def lambert(nrm, wi):
+    """Lambert diffuse term max(dot(n, wi), 0) / pi."""
+    return jnp.clip(jnp.sum(nrm * wi, -1, keepdims=True), 0.0, None) / math.pi
+
+
+def frostbite_diffuse(nrm, wi, wo, linear_roughness):
+    """Frostbite normalized Disney diffuse (bsdf.py mirror)."""
+    wi_dot_n = jnp.sum(nrm * wi, -1, keepdims=True)
+    wo_dot_n = jnp.sum(nrm * wo, -1, keepdims=True)
+    h = wi + wo
+    h = h / jnp.sqrt(jnp.sum(h * h, -1, keepdims=True) + 1e-20)
+    wi_dot_h = jnp.sum(wi * h, -1, keepdims=True)
+    energy_bias = 0.5 * linear_roughness
+    energy_factor = 1.0 - (0.51 / 1.51) * linear_roughness
+    f90 = energy_bias + 2.0 * wi_dot_h ** 2 * linear_roughness
+    f0 = jnp.ones_like(f90)
+
+    def fresnel(f0_, f90_, cos_t):
+        return f0_ + (f90_ - f0_) * jnp.clip(1.0 - cos_t, 0.0, 1.0) ** 5
+
+    light_scatter = fresnel(f0, f90, jnp.clip(wi_dot_n, 0, 1))
+    view_scatter = fresnel(f0, f90, jnp.clip(wo_dot_n, 0, 1))
+    mask = (wi_dot_n > 0) & (wo_dot_n > 0)
+    return jnp.where(
+        mask,
+        light_scatter * view_scatter * energy_factor
+        * jnp.clip(wi_dot_n, 0, 1) / math.pi,
+        0.0)
+
+
+def pbr_specular(col, nrm, wo, wi, alpha, min_roughness=0.08):
+    """Cook-Torrance GGX specular (bsdf.py pbr_specular mirror)."""
+    alpha = jnp.clip(alpha, min_roughness ** 2, 1.0)
+    h = wi + wo
+    h = h / jnp.sqrt(jnp.sum(h * h, -1, keepdims=True) + 1e-20)
+    wo_dot_n = jnp.sum(wo * nrm, -1, keepdims=True)
+    wi_dot_n = jnp.sum(wi * nrm, -1, keepdims=True)
+    wo_dot_h = jnp.sum(wo * h, -1, keepdims=True)
+    n_dot_h = jnp.sum(nrm * h, -1, keepdims=True)
+    d = eval_ggx_ndf(alpha[..., None] if alpha.ndim < n_dot_h.ndim else alpha,
+                     n_dot_h[..., 0])[..., None]
+    g = (smith_ggx_g1(alpha, wi_dot_n[..., 0])
+         * smith_ggx_g1(alpha, wo_dot_n[..., 0]))[..., None]
+    f = fresnel_schlick(col, wo_dot_h)
+    res = f * d * g * 0.25 / jnp.clip(wo_dot_n, 1e-6, None)
+    mask = (wi_dot_n > 0) & (wo_dot_n > 0)
+    return jnp.where(mask, res, 0.0)
+
+
+# ---------------------------------------------------------------------- #
+# Spherical-Gaussian helpers (reference lib/pbr/utils/light_utils.py:6-69)
+# ---------------------------------------------------------------------- #
+
+
+def compute_energy(lgt_sgs):
+    """Total energy of SG mixture [N,7] (lobe, lambda, mu)."""
+    lam = jnp.abs(lgt_sgs[:, 3:4])
+    mu = jnp.abs(lgt_sgs[:, 4:])
+    return mu * 2.0 * math.pi / lam * (1.0 - jnp.exp(-2.0 * lam))
+
+
+def fibonacci_sphere(samples: int = 1):
+    """Uniform points on the sphere (numpy, reference :22-43)."""
+    import numpy as np
+
+    i = np.arange(samples, dtype=np.float64)
+    phi = math.pi * (3.0 - math.sqrt(5.0))
+    z = 1 - (i / float(samples - 1)) * 2
+    radius = np.sqrt(np.clip(1 - z * z, 0, None))
+    theta = phi * i
+    return np.stack([np.cos(theta) * radius, np.sin(theta) * radius, z], -1)
+
+
+def eval_sgs(lgt_sgs, viewdirs):
+    """Evaluate an SG mixture at view directions (reference :46-69)."""
+    v = viewdirs[..., None, :]
+    lobes = lgt_sgs[..., :3] / jnp.sqrt(
+        jnp.sum(lgt_sgs[..., :3] ** 2, -1, keepdims=True) + 1e-12)
+    lam = jnp.abs(lgt_sgs[..., 3:4])
+    mu = jnp.abs(lgt_sgs[..., -3:])
+    lo = mu * jnp.exp(lam * (jnp.sum(v * lobes, -1, keepdims=True) - 1.0))
+    return jnp.sum(lo, axis=-2)

@@ -70,3 +70,21 @@ def ssim(img0, img1, max_val: float = 1.0, filter_size: int = 11,
     numer = (2 * mu0 * mu1 + c1) * (2 * sigma01 + c2)
     denom = (mu0 ** 2 + mu1 ** 2 + c1) * (sigma00 + sigma11 + c2)
     return jnp.mean(numer / denom)
+
+
+def weighted_mse(pred, gt, weights=None):
+    """Weighted MSE (reference criterions.py WeightedMSE)."""
+    e = (pred - gt) ** 2
+    if weights is None:
+        return e.mean()
+    return (e * weights).sum() / jnp.maximum(jnp.broadcast_to(
+        weights, e.shape).sum(), 1e-8)
+
+
+def weighted_l1(pred, gt, weights=None):
+    """Weighted L1 (reference criterions.py WeightedL1)."""
+    e = jnp.abs(pred - gt)
+    if weights is None:
+        return e.mean()
+    return (e * weights).sum() / jnp.maximum(jnp.broadcast_to(
+        weights, e.shape).sum(), 1e-8)

@@ -49,6 +49,17 @@ def make_lr_schedule(config) -> optax.Schedule:
     if name == "ExponentialLR":
         gamma = float(sched["args"]["gamma"])
         return lambda step: gamma ** jnp.asarray(step, jnp.float32)
+    if name == "ChainedScheduler":
+        subs = [make_lr_schedule({"scheduler": s})
+                for s in sched["schedulers"]]
+
+        def chained(step):
+            out = 1.0
+            for sub in subs:
+                out = out * sub(step)
+            return out
+
+        return chained
     if name == "ConstantLR":
         factor = float(sched["args"].get("factor", 1.0 / 3))
         total = int(sched["args"].get("total_iters", 5))

@@ -1,0 +1,55 @@
+"""Misc utilities (reference utils/misc.py + models/utils.py helpers)."""
+
+from __future__ import annotations
+
+import gc
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_rank() -> int:
+    """Process rank from the usual launcher env vars (reference
+    utils/misc.py:44-52); 0 in single-process runs."""
+    for v in ("RANK", "LOCAL_RANK", "SLURM_PROCID", "JSM_NAMESPACE_RANK"):
+        if v in os.environ:
+            return int(os.environ[v])
+    return 0
+
+
+def scale_anything(x, in_range, out_range):
+    """Linear range remap (reference models/utils.py scale_anything)."""
+    lo, hi = in_range
+    olo, ohi = out_range
+    return (x - lo) / (hi - lo) * (ohi - olo) + olo
+
+
+def chunk_batch(fn: Callable, chunk_size: int, *args, pad: bool = True):
+    """Apply ``fn`` over the first axis of the array args in fixed chunks.
+
+    TPU-friendly replacement for the reference's ``chunk_batch``
+    (models/utils.py:14-51): the last chunk is padded to ``chunk_size``
+    so one compiled shape serves every call; dict/tuple/array outputs are
+    concatenated on host.
+    """
+    n = args[0].shape[0]
+    outs = []
+    for s in range(0, n, chunk_size):
+        sl = [a[s:s + chunk_size] for a in args]
+        cur = sl[0].shape[0]
+        if pad and cur < chunk_size:
+            sl = [jnp.pad(a, [(0, chunk_size - cur)] + [(0, 0)] * (a.ndim - 1))
+                  for a in sl]
+        out = fn(*sl)
+        outs.append(jax.tree_util.tree_map(
+            lambda v: np.asarray(v)[:cur], out))
+    return jax.tree_util.tree_map(
+        lambda *vs: np.concatenate(vs, axis=0), *outs)
+
+
+def cleanup():
+    """gc sweep (reference models/utils.py:117-120; no CUDA caches here)."""
+    gc.collect()
