@@ -73,9 +73,10 @@ def main():
 
     step = jnp.asarray(cfg.model.split_sum_kick_in_step + 1, jnp.int32)
 
+    build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
+
     @jax.jit
-    def render_chunk(params, rays_chunk):
-        mips = model.emitter.build_mips(params["emitter"])
+    def render_chunk(params, rays_chunk, mips):
         out = model.forward(
             params, rays_chunk, occ_binary=occ_binary, mips=mips, step=step,
             rng=None, stage=1, train=False, capacity=eval_capacity,
@@ -84,18 +85,20 @@ def main():
 
     # warmup / compile
     t0 = time.time()
-    img0 = render_chunk(params, rays[:chunk])
+    mips = build_mips(params)
+    img0 = render_chunk(params, rays[:chunk], mips)
     img0.block_until_ready()
     log(f"compile+first chunk: {time.time() - t0:.1f}s")
 
     n = rays.shape[0]
     t0 = time.time()
+    mips = build_mips(params)  # once per image (differentiable per step in training)
     outs = []
     for s in range(0, n, chunk):
         rc = rays[s:s + chunk]
         if rc.shape[0] < chunk:
             rc = jnp.pad(rc, ((0, chunk - rc.shape[0]), (0, 0)))
-        outs.append(render_chunk(params, rc))
+        outs.append(render_chunk(params, rc, mips))
     outs[-1].block_until_ready()
     dt = time.time() - t0
     rays_per_sec = n / dt

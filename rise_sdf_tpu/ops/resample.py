@@ -32,7 +32,8 @@ def ray_resampling(t_starts, t_ends, weights, live, n_new: int,
         u = (jnp.arange(n_new)[None, :]
              + jax.random.uniform(rng, (r, n_new))) / n_new
     else:
-        u = (jnp.arange(n_new)[None, :] + 0.5) / n_new
+        u = jnp.broadcast_to(
+            (jnp.arange(n_new)[None, :] + 0.5) / n_new, (r, n_new))
 
     # invert the CDF per ray
     idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(

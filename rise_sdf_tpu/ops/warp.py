@@ -145,8 +145,7 @@ def pbr_specular(col, nrm, wo, wi, alpha, min_roughness=0.08):
     wi_dot_n = jnp.sum(wi * nrm, -1, keepdims=True)
     wo_dot_h = jnp.sum(wo * h, -1, keepdims=True)
     n_dot_h = jnp.sum(nrm * h, -1, keepdims=True)
-    d = eval_ggx_ndf(alpha[..., None] if alpha.ndim < n_dot_h.ndim else alpha,
-                     n_dot_h[..., 0])[..., None]
+    d = eval_ggx_ndf(alpha, n_dot_h[..., 0])[..., None]
     g = (smith_ggx_g1(alpha, wi_dot_n[..., 0])
          * smith_ggx_g1(alpha, wo_dot_n[..., 0]))[..., None]
     f = fresnel_schlick(col, wo_dot_h)

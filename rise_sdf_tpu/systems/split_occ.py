@@ -119,9 +119,7 @@ class SplitOccSystem(NeuSSystem):
         self._chunk_args = (stage, relighting)
 
         @jax.jit
-        def render_chunk(params, occ_binary, rays, step, emitter_base):
-            mips = model.emitter.build_mips({"base": emitter_base}) \
-                if stage != 0 else None
+        def render_chunk(params, occ_binary, rays, step, mips):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, mips=mips, step=step,
                 rng=None, stage=stage, train=False, relighting=relighting,
@@ -148,6 +146,15 @@ class SplitOccSystem(NeuSSystem):
             render_chunk = self.make_render_chunk(stage)
         if emitter_base is None:
             emitter_base = state["params"]["emitter"]["base"]
+        # build the light mips once per image, not once per chunk
+        stage_used = getattr(render_chunk, "_stage", stage)
+        if stage_used != 0:
+            if not hasattr(self, "_jit_build_mips"):
+                self._jit_build_mips = jax.jit(
+                    lambda b: self.model.emitter.build_mips({"base": b}))
+            mips = self._jit_build_mips(emitter_base)
+        else:
+            mips = None
         dirs = jnp.asarray(np.asarray(split.directions))
         c2w = jnp.asarray(np.asarray(split.all_c2w[index]))
         rays_o, rays_d = get_rays(dirs, c2w)
@@ -161,7 +168,7 @@ class SplitOccSystem(NeuSSystem):
             if pad:
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
             res = render_chunk(state["params"], state["occ_binary"], chunk,
-                               state["step"], emitter_base)
+                               state["step"], mips)
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 if not hasattr(render_chunk, "_fallback"):
                     render_chunk._fallback = self.make_render_chunk(
@@ -170,7 +177,7 @@ class SplitOccSystem(NeuSSystem):
                         capacity=self.eval_capacity * 2)
                 res = render_chunk._fallback(
                     state["params"], state["occ_binary"], chunk,
-                    state["step"], emitter_base)
+                    state["step"], mips)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
