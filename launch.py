@@ -90,6 +90,17 @@ def main():
     system = systems.make(config["system"]["name"], config, dm,
                           save_dir=save_dir, ckpt_dir=ckpt_dir)
 
+    # data-parallel mesh over all visible devices (the reference wires DDP
+    # over the --gpu list here, launch.py:84-97); single device = no mesh
+    import jax
+
+    if jax.device_count() > 1:
+        from rise_sdf_tpu.parallel import get_mesh
+
+        system.mesh = get_mesh()
+        print(f"data-parallel mesh over {jax.device_count()} devices",
+              flush=True)
+
     state = system.init_state(seed)
     if args.resume:
         if args.resume_weights_only:

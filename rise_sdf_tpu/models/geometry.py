@@ -52,6 +52,11 @@ class VolumeSDF:
         self.sdf_activation = config.get("sdf_activation", None)
         self.sdf_bias = float(config.get("sdf_bias", 0.0))
         self.fd_eps_cfg = config.get("finite_difference_eps", 1e-3)
+        # hybrid FD: coarse hash levels are (multi)linear within a cell, so
+        # a first-order Taylor from the base point reproduces FD exactly
+        # there — only the finest levels (cell size <= ~4*eps) need true
+        # probe encodes.  Cuts the probes' gather/scatter volume ~L/k.
+        self.fd_taylor_coarse = bool(config.get("fd_taylor_coarse", True))
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -62,38 +67,61 @@ class VolumeSDF:
         """World [-r, r]^3 -> unit cube [0, 1]^3 (AABB contraction)."""
         return (x + self.radius) / (2.0 * self.radius)
 
-    def raw(self, params, x_world, step=None, grad_impl="plain"):
-        """-> [N, feature_dim]; channel 0 is the SDF.
-
-        grad_impl: 'plain' = ordinary autodiff (default; also needed
-        wherever the result's gradient is differentiated again);
-        'sorted' = deterministic segment-reduction table gradients."""
-        # clamp into the unit cube: padded/garbage sample slots may lie
-        # outside the AABB, where trilinear extrapolation weights blow up
-        u = jnp.clip(self.contract(x_world), 0.0, 1.0)
-        enc = self.encoding.apply(params["encoding"], u, step,
-                                  grad_impl=grad_impl)
+    def _head(self, params, enc):
         out = self.mlp.apply(params["mlp"], enc)
         if self.sdf_activation is not None:
             sdf = get_activation(self.sdf_activation)(out[..., 0] + self.sdf_bias)
             out = jnp.concatenate([sdf[..., None], out[..., 1:]], axis=-1)
         return out
 
-    def sdf(self, params, x_world, step=None, grad_impl="plain"):
-        return self.raw(params, x_world, step, grad_impl=grad_impl)[..., 0]
+    def raw(self, params, x_world, step=None, grad_impl="plain",
+            levels=None):
+        """-> [N, feature_dim]; channel 0 is the SDF.
+
+        grad_impl: 'plain' = ordinary autodiff (default; also needed
+        wherever the result's gradient is differentiated again);
+        'sorted' = deterministic segment-reduction table gradients.
+        ``levels``: static open-level count — closed hash levels skip
+        their gathers entirely (one recompile per opened band)."""
+        # clamp into the unit cube: padded/garbage sample slots may lie
+        # outside the AABB, where trilinear extrapolation weights blow up
+        u = jnp.clip(self.contract(x_world), 0.0, 1.0)
+        enc = self.encoding.apply(params["encoding"], u, step,
+                                  grad_impl=grad_impl, levels=levels)
+        return self._head(params, enc)
+
+    def sdf(self, params, x_world, step=None, grad_impl="plain",
+            levels=None):
+        return self.raw(params, x_world, step, grad_impl=grad_impl,
+                        levels=levels)[..., 0]
 
     def forward_level(self, params, x_world, step=None):
         """SDF level for marching cubes (reference geometry.py:294-299)."""
         return self.sdf(params, x_world, step)
 
     # ------------------------------------------------------------------ #
-    def fd_eps(self, step):
+    def open_levels(self, step: int):
+        """Static open-level count at ``step`` (None when the encoding is
+        not a progressive hash grid) — python-side mirror of
+        ``HashGridEncoding.current_level`` for compile-time specialization."""
+        hg = getattr(self.encoding, "encoding", None)
+        if hg is None or not getattr(hg, "progressive", False):
+            return None
+        lvl = hg.start_level + max(int(step) - hg.start_step, 0) \
+            // hg.update_steps
+        return int(min(lvl, hg.n_levels))
+
+    def fd_eps(self, step, levels=None):
         """Finite-difference eps; 'progressive' ties it to the current
-        hash-grid cell size (reference geometry.py:304-320)."""
+        hash-grid cell size (reference geometry.py:304-320).  Static when
+        ``levels`` is a static open-level count."""
         if isinstance(self.fd_eps_cfg, (int, float)):
             return jnp.asarray(float(self.fd_eps_cfg), jnp.float32)
         assert self.fd_eps_cfg == "progressive"
         hg = self.encoding.encoding  # HashGridEncoding
+        if isinstance(levels, int):
+            grid_res = hg.base_resolution * hg.per_level_scale ** (levels - 1)
+            return jnp.asarray(2.0 * self.radius / grid_res, jnp.float32)
         cur = hg.current_level(step if step is not None else 10 ** 9)
         grid_res = hg.base_resolution * jnp.power(
             jnp.asarray(hg.per_level_scale, jnp.float32),
@@ -101,17 +129,103 @@ class VolumeSDF:
         )
         return 2.0 * self.radius / grid_res
 
-    def analytic_grad(self, params, x_world, step=None):
+    def analytic_grad(self, params, x_world, step=None, levels=None):
         # 'plain' encode: this gradient is itself differentiated by the
         # losses (second-order), which custom_vjp does not support
-        g = jax.grad(lambda p: self.sdf(params, p, step,
-                                        grad_impl="plain").sum())(x_world)
+        g = jax.grad(lambda p: self.sdf(params, p, step, grad_impl="plain",
+                                        levels=levels).sum())(x_world)
         return g
+
+    # ------------------------------------------------------------------ #
+    def _fd_fine_k(self) -> int:
+        """Number of finest levels whose cell size is within ~4x of the
+        progressive eps (eps = finest open cell): these need true FD
+        probes; coarser levels are linear at that scale."""
+        import math
+
+        hg = self.encoding.encoding
+        return max(int(math.ceil(math.log(4.0)
+                                 / math.log(hg.per_level_scale))), 1)
+
+    def _hybrid_fd(self, params, x_world, step, levels, with_laplace,
+                   rng):
+        """FD gradient with Taylor-approximated coarse levels.
+
+        The coarse band [0, fine_lo) is linearized once at the base point
+        (``jax.linearize`` reuses the base gathers; probe evaluations are
+        elementwise); only the fine band [fine_lo, levels) is re-encoded
+        at the 6 probe points.  The curvature probe's offset (1e-4) is far
+        below any cell size, so its gradient uses the same linearization
+        plus exact fine levels.  All of it is plain traceable jax, so the
+        losses differentiate through the gradients as usual.
+        """
+        comp = self.encoding
+        hg = comp.encoding
+        fine_lo = max(levels - self._fd_fine_k(), 0)
+        u = jnp.clip(self.contract(x_world), 0.0, 1.0)
+        enc_params = params["encoding"]
+
+        # coarse band: features + u-space Jacobian columns from ONE gather
+        # (the [N, D]-shaped columns keep TPU-friendly layouts; see
+        # HashGridEncoding.encode_with_grad)
+        c0, (jx, jy, jz) = hg.encode_with_grad(enc_params, u, step,
+                                               levels=(0, fine_lo))
+
+        def enc_fine(uu):
+            return hg.apply(enc_params, uu, step,
+                            levels=(fine_lo, levels))
+
+        def full_enc(uu, du, fine_feats):
+            """Taylor(coarse at u, offset du) + exact fine + xyz prefix.
+            Leading (probe) axes broadcast against the [N, D] base arrays."""
+            e = (c0 + jx * du[..., 0:1] + jy * du[..., 1:2]
+                 + jz * du[..., 2:3] + fine_feats)
+            if comp.include_xyz:
+                e = jnp.concatenate(
+                    [uu * comp.xyz_scale + comp.xyz_offset, e], -1)
+            return e
+
+        raw0 = self._head(params, full_enc(u, jnp.zeros_like(u),
+                                           enc_fine(u)))
+
+        eps = self.fd_eps(step, levels)
+        offsets = jnp.asarray(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+             [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+        xd = x_world[None, :, :] + eps * offsets[:, None, :]
+        xd = jnp.clip(xd, -self.radius, self.radius)
+        ud = jnp.clip(self.contract(xd), 0.0, 1.0)  # [6,N,3]
+        n = x_world.shape[0]
+        fine_d = enc_fine(ud.reshape(-1, 3)).reshape(6, n, -1)
+        enc_d = full_enc(ud, ud - u[None], fine_d)  # [6,N,D] broadcast
+        sdf_d = self._head(params, enc_d.reshape(6 * n, -1)
+                           )[..., 0].reshape(6, n)
+        grad = 0.5 * (sdf_d[0::2] - sdf_d[1::2]).T / eps
+
+        laplace = None
+        if with_laplace:
+            eps2 = 1e-4
+            rand_dirs = _normalize(jax.random.uniform(rng, x_world.shape))
+            normal = _normalize(grad)
+            tangent = jnp.cross(normal, rand_dirs)
+            ut = jnp.clip(self.contract(x_world + eps2 * tangent), 0.0, 1.0)
+
+            def sdf_at_u(uu):
+                return jnp.sum(self._head(
+                    params, full_enc(uu, uu - u, enc_fine(uu)))[..., 0])
+
+            # d sdf / d u / (2r): coarse term is the frozen Jacobian,
+            # fine term is the exact trilinear gradient at the offset
+            grad_d = jax.grad(sdf_at_u)(ut) / (2.0 * self.radius)
+            dot = jnp.sum(_normalize(grad) * _normalize(grad_d), -1)
+            angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
+            laplace = angle / jnp.pi
+        return raw0, grad, laplace
 
     def forward(self, params, x_world, step=None, with_grad=True,
                 with_feature=True, with_laplace=False,
                 rng: Optional[jax.Array] = None,
-                grad_mode: Optional[str] = None):
+                grad_mode: Optional[str] = None, levels=None):
         """Returns dict with sdf [N], grad [N,3], feature [N,F], laplace [N].
 
         ``grad_mode`` overrides the configured grad type per call-site:
@@ -122,18 +236,33 @@ class VolumeSDF:
         """
         grad_type = grad_mode or self.grad_type
         out = {}
+        if (with_grad and grad_type == "finite_difference"
+                and self.fd_taylor_coarse and isinstance(levels, int)
+                and getattr(self.encoding, "encoding", None) is not None
+                and hasattr(self.encoding.encoding, "per_level_scale")):
+            raw, grad, laplace = self._hybrid_fd(
+                params, x_world, step, levels, with_laplace, rng)
+            out["sdf"] = raw[..., 0]
+            out["grad"] = grad
+            if with_feature:
+                out["feature"] = raw
+            if with_laplace:
+                out["laplace"] = laplace
+            return out
+
         if with_grad and grad_type == "analytic":
             # one forward + one VJP: features, sdf and position-gradient
             # share the hash-table gathers (the VJP reuses the gathered
             # corners as residuals — no second encode).  'plain' encode:
             # training losses may differentiate through this gradient.
             raw, vjp = jax.vjp(
-                lambda p: self.raw(params, p, step, grad_impl="plain"),
+                lambda p: self.raw(params, p, step, grad_impl="plain",
+                                   levels=levels),
                 x_world)
             cot = jnp.zeros_like(raw).at[..., 0].set(1.0)
             out["grad"] = vjp(cot)[0]
         else:
-            raw = self.raw(params, x_world, step)
+            raw = self.raw(params, x_world, step, levels=levels)
         sdf = raw[..., 0]
         out["sdf"] = sdf
         if with_feature:
@@ -143,13 +272,14 @@ class VolumeSDF:
             if grad_type == "analytic":
                 pass  # computed above
             elif grad_type == "finite_difference":
-                eps = self.fd_eps(step)
+                eps = self.fd_eps(step, levels)
                 offsets = jnp.asarray(
                     [[1, 0, 0], [-1, 0, 0], [0, 1, 0],
                      [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
                 xd = x_world[:, None, :] + eps * offsets[None, :, :]
                 xd = jnp.clip(xd, -self.radius, self.radius)
-                sdf_d = self.sdf(params, xd.reshape(-1, 3), step)
+                sdf_d = self.sdf(params, xd.reshape(-1, 3), step,
+                                 levels=levels)
                 sdf_d = sdf_d.reshape(-1, 6)
                 out["grad"] = 0.5 * (sdf_d[:, 0::2] - sdf_d[:, 1::2]) / eps
             else:
@@ -163,7 +293,7 @@ class VolumeSDF:
             normal = _normalize(out["grad"])
             tangent = jnp.cross(normal, rand_dirs)
             xd = x_world + eps2 * tangent
-            grad_d = self.analytic_grad(params, xd, step)
+            grad_d = self.analytic_grad(params, xd, step, levels=levels)
             dot = jnp.sum(_normalize(out["grad"]) * _normalize(grad_d), -1)
             angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
             out["laplace"] = angle / jnp.pi

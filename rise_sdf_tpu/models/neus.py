@@ -124,22 +124,38 @@ class NeuSModel:
                 "rays_valid": opacity > 0}
 
     # ------------------------------------------------------------------ #
+    def post_update(self, params, step):
+        """Non-gradient buffer maintenance after the optimizer step
+        (variance modulation's ``prev_inv_s`` tracker)."""
+        v = self.variance.post_update(params["variance"], step)
+        if v is not params["variance"]:
+            params = {**params, "variance": v}
+        return params
+
     def cos_anneal_ratio(self, step):
         if self.cos_anneal_end == 0:
             return jnp.asarray(1.0)
         return jnp.minimum(1.0, jnp.asarray(step, jnp.float32)
                            / self.cos_anneal_end)
 
-    def occ_eval(self, params, x, step):
+    def occ_eval(self, params, x, step, levels=None):
         """Per-cell occupancy alpha for the grid EMA update."""
-        sdf = self.geometry.sdf(params["geometry"], x, step)
+        sdf = self.geometry.sdf(params["geometry"], x, step, levels=levels)
         inv_s = self.variance.inv_s(params["variance"], step)
         return occ_eval_alpha(sdf, inv_s, self.render_step_size)
 
+    def open_levels(self, step: int):
+        """Static open-level count of the geometry hash grid (None when
+        not progressive) — for compile-time level specialization."""
+        return self.geometry.open_levels(step) \
+            if hasattr(self.geometry, "open_levels") else None
+
     # ------------------------------------------------------------------ #
     def forward(self, params, rays, *, occ_binary, step, rng=None,
-                train: bool = False, capacity: int, background_color):
-        """rays [R,6] -> per-ray render dict. ``train``/``capacity`` static."""
+                train: bool = False, capacity: int, background_color,
+                levels=None):
+        """rays [R,6] -> per-ray render dict. ``train``/``capacity``/
+        ``levels`` static."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = None
@@ -161,7 +177,8 @@ class NeuSModel:
 
         geo = self.geometry.forward(params["geometry"], positions, step,
                                     with_grad=True, with_feature=True,
-                                    grad_mode=None if train else "analytic")
+                                    grad_mode=None if train else "analytic",
+                                    levels=levels)
         sdf, sdf_grad, feature = geo["sdf"], geo["grad"], geo["feature"]
         normal = _normalize(sdf_grad)
         inv_s = self.variance.inv_s(params["variance"], step)

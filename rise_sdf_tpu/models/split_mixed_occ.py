@@ -72,30 +72,44 @@ class SplitMixedOccModel:
         """Python-level stage flag (static under jit; one recompile at flip)."""
         return 1 if step >= self.split_sum_kick_in_step else 0
 
+    def post_update(self, params, step):
+        """Non-gradient buffer maintenance after the optimizer step
+        (variance modulation's ``prev_inv_s`` tracker)."""
+        v = self.variance.post_update(params["variance"], step)
+        if v is not params["variance"]:
+            params = {**params, "variance": v}
+        return params
+
     def cos_anneal_ratio(self, step):
         if self.cos_anneal_end == 0:
             return jnp.asarray(1.0)
         return jnp.minimum(1.0, jnp.asarray(step, jnp.float32)
                            / self.cos_anneal_end)
 
-    def occ_eval(self, params, x, step):
-        sdf = self.geometry.sdf(params["geometry"], x, step)
+    def occ_eval(self, params, x, step, levels=None):
+        sdf = self.geometry.sdf(params["geometry"], x, step, levels=levels)
         inv_s = self.variance.inv_s(params["variance"], step)
         return occ_eval_alpha(sdf, inv_s, self.render_step_size)
 
+    def open_levels(self, step: int):
+        """Static open-level count of the geometry hash grid (None when
+        not progressive) — for compile-time level specialization."""
+        return self.geometry.open_levels(step) \
+            if hasattr(self.geometry, "open_levels") else None
+
     # ------------------------------------------------------------------ #
     def _alpha_at(self, params, positions, t_dirs, dists, step,
-                  cos_anneal_ratio):
+                  cos_anneal_ratio, levels=None):
         geo = self.geometry.forward(params["geometry"], positions, step,
                                     with_grad=True, with_feature=False,
-                                    grad_mode="analytic")
+                                    grad_mode="analytic", levels=levels)
         normal = _normalize(geo["grad"])
         inv_s = self.variance.inv_s(params["variance"], step)
         true_cos = jnp.sum(t_dirs * normal, -1)
         return neus_alpha(geo["sdf"], inv_s, true_cos, dists, cos_anneal_ratio)
 
     def compute_indirect_radiance(self, params, rays_o, rays_d, occ_binary,
-                                  step):
+                                  step, levels=None):
         """Transmittance + expected depth along secondary rays (no grad).
 
         Reference ``models/split_mixed_occ.py:179-222``: 96 uniform
@@ -115,7 +129,8 @@ class SplitMixedOccModel:
         t_dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
         alpha = self._alpha_at(
             params, pos.reshape(-1, 3), t_dirs.reshape(-1, 3),
-            dists.reshape(-1), step, jnp.asarray(1.0)).reshape(n, s)
+            dists.reshape(-1), step, jnp.asarray(1.0),
+            levels=levels).reshape(n, s)
         alpha = jnp.where(live, alpha, 0.0)
         w, _ = volrend.render_weight_from_alpha_dense(alpha, live)
         acc = w.sum(axis=1, keepdims=True)
@@ -126,8 +141,9 @@ class SplitMixedOccModel:
     # ------------------------------------------------------------------ #
     def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
                 stage: int = 0, train: bool = False, relighting: bool = False,
-                capacity: int, background_color):
-        """rays [R,6] -> per-ray dict. stage/train/relighting/capacity static."""
+                capacity: int, background_color, levels=None):
+        """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
+        levels static (``levels`` = open hash levels; None = all)."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = laplace_rng = None
@@ -153,7 +169,7 @@ class SplitMixedOccModel:
         geo = self.geometry.forward(
             params["geometry"], positions, step, with_grad=True,
             with_feature=True, with_laplace=want_laplace, rng=laplace_rng,
-            grad_mode=None if train else "analytic")
+            grad_mode=None if train else "analytic", levels=levels)
         sdf, sdf_grad, feature = geo["sdf"], geo["grad"], geo["feature"]
         normal = _normalize(sdf_grad)
         inv_s = self.variance.inv_s(params["variance"], step)
@@ -213,10 +229,10 @@ class SplitMixedOccModel:
             sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
                 * normal_map - wo
             tr, sec_depth = self.compute_indirect_radiance(
-                params, sec_o, sec_d, occ_binary, step)
+                params, sec_o, sec_d, occ_binary, step, levels=levels)
             sec_geo = self.geometry.forward(
                 params["geometry"], sec_o, step, with_grad=False,
-                with_feature=True)
+                with_feature=True, levels=levels)
             sec_rgb = self.texture.secondary_shading(
                 params["texture"], sec_geo["feature"], sec_d, normal_map,
                 step=step)
@@ -235,7 +251,8 @@ class SplitMixedOccModel:
                     third_o = sec_o + sec_depth * sec_d
                     tg = self.geometry.forward(
                         params["geometry"], third_o, step, with_grad=True,
-                        with_feature=True, grad_mode="analytic")
+                        with_feature=True, grad_mode="analytic",
+                        levels=levels)
                     third_normal = _normalize(tg["grad"])
                     third_rgb = self.texture.secondary_shading_pbr(
                         params["texture"], tg["feature"], sec_d, third_normal,

@@ -136,16 +136,74 @@ class HashGridEncoding:
         flat = self._corner_indices(i0, l)  # [N,8]
         return w, flat
 
-    def _encode_plain(self, table, x, mask):
+    @staticmethod
+    def _level_range(levels, n_levels):
+        """Normalize the static ``levels`` spec to a (lo, hi) range."""
+        if levels is None:
+            return 0, n_levels
+        if isinstance(levels, tuple):
+            lo, hi = levels
+            return int(lo), int(min(hi, n_levels))
+        return 0, int(min(levels, n_levels))
+
+    def _encode_plain(self, table, x, mask, levels=None):
+        """Encode; static ``levels`` (int count or (lo, hi) range) skips the
+        gathers of levels outside the range entirely — their feature slots
+        are zeros (output width is always L*F for shape stability)."""
+        lo, hi = self._level_range(levels, self.n_levels)
+        n = x.shape[0]
         feats = []
+        zero = None
         for l in range(self.n_levels):
+            if l < lo or l >= hi:
+                if zero is None:
+                    zero = jnp.zeros((n, self.n_features_per_level), x.dtype)
+                feats.append(zero)
+                continue
             w, flat = self._level_geometry(x, l)
             vals = table[l][flat]  # [N,8,F]
             cw, _ = self._corner_weights(w)
             feats.append(jnp.einsum("nc,ncf->nf", cw, vals) * mask[l])
         return jnp.concatenate(feats, axis=-1)
 
-    def _encode_sorted_vjp(self):
+    def encode_with_grad(self, params, x, step=None, levels=None):
+        """Features and their x-space Jacobian for levels in range.
+
+        -> (feats [N, L*F], (jx, jy, jz) each [N, L*F]): the Jacobian is
+        returned as three feature-width column arrays (not [N, D, 3]) so
+        every buffer keeps a lane-friendly [N, D] layout — [*, small]
+        minor dims tile-pad 16-43x on TPU and caused OOM with
+        ``jax.linearize``'s residuals.  Levels outside the range
+        contribute zeros.  Used by the hybrid-FD Taylor path: the
+        Jacobian shares the base gathers (same ``vals``) so its table
+        backward adds no new scatter rows.
+        """
+        table = params["table"]
+        mask = self.level_mask(step if step is not None else 10 ** 9)
+        lo, hi = self._level_range(levels, self.n_levels)
+        n = x.shape[0]
+        feats, jxs, jys, jzs = [], [], [], []
+        zero = jnp.zeros((n, self.n_features_per_level), x.dtype)
+        for l in range(self.n_levels):
+            if l < lo or l >= hi:
+                feats.append(zero)
+                jxs.append(zero)
+                jys.append(zero)
+                jzs.append(zero)
+                continue
+            w, flat = self._level_geometry(x, l)
+            vals = table[l][flat]  # [N,8,F]
+            cw, dcw = self._corner_weights(w)
+            m = mask[l]
+            res = float(self.resolutions[l])
+            feats.append(jnp.einsum("nc,ncf->nf", cw, vals) * m)
+            jxs.append(jnp.einsum("nc,ncf->nf", dcw[..., 0], vals) * (m * res))
+            jys.append(jnp.einsum("nc,ncf->nf", dcw[..., 1], vals) * (m * res))
+            jzs.append(jnp.einsum("nc,ncf->nf", dcw[..., 2], vals) * (m * res))
+        cat = lambda xs: jnp.concatenate(xs, axis=-1)
+        return cat(feats), (cat(jxs), cat(jys), cat(jzs))
+
+    def _encode_sorted_vjp(self, levels=None):
         """Encode with a custom first-order VJP.
 
         Table gradients avoid XLA's serialized scatter-add (~41 ns/row on
@@ -159,20 +217,21 @@ class HashGridEncoding:
         curvature probe's grad-of-grad path uses the plain encode.
         """
         L, F, T = self.n_levels, self.n_features_per_level, self.table_size
+        lo, hi = self._level_range(levels, L)
 
         @jax.custom_vjp
         def encode(table, x, mask):
-            return self._encode_plain(table, x, mask)
+            return self._encode_plain(table, x, mask, levels)
 
         def fwd(table, x, mask):
-            return self._encode_plain(table, x, mask), (table, x, mask)
+            return self._encode_plain(table, x, mask, levels), (table, x, mask)
 
         def bwd(resid, g):
             table, x, mask = resid
             n = x.shape[0]
             g_lvl = g.reshape(n, L, F)
             gids, contribs, dfracs = [], [], []
-            for l in range(L):
+            for l in range(lo, hi):
                 w, flat = self._level_geometry(x, l)
                 cw, dcw = self._corner_weights(w)
                 gm = g_lvl[:, l, :] * mask[l]                  # [N,F]
@@ -206,20 +265,28 @@ class HashGridEncoding:
         return encode
 
     def apply(self, params, x: jnp.ndarray, step=None,
-              grad_impl: str = "plain") -> jnp.ndarray:
+              grad_impl: str = "plain", levels=None) -> jnp.ndarray:
         """Encode ``x`` in [0,1]^3 -> [N, L*F] features (level-major).
 
         grad_impl='plain' (default) uses ordinary autodiff: XLA's
         scatter-add table gradient measured *faster* on this TPU (46
         ns/row) than the sorted prefix-sum VJP (62 ns/row — the sort
         permutation gathers dominate); 'sorted' keeps the deterministic
-        segment-reduction VJP available (first-order only)."""
+        segment-reduction VJP available (first-order only).
+
+        ``levels`` (static: int count or (lo, hi) range) restricts the
+        encode to those levels — closed levels cost nothing (progressive-
+        level specialization: one recompile per opened band)."""
         table = params["table"]
         mask = self.level_mask(step if step is not None else 10 ** 9)
         if grad_impl == "sorted":
-            if not hasattr(self, "_encode_vjp"):
-                self._encode_vjp = self._encode_sorted_vjp()
-            return self._encode_vjp(table, x, mask)
-        return self._encode_plain(table, x, mask)
+            key = self._level_range(levels, self.n_levels)
+            cache = getattr(self, "_encode_vjp_cache", None)
+            if cache is None:
+                cache = self._encode_vjp_cache = {}
+            if key not in cache:
+                cache[key] = self._encode_sorted_vjp(levels)
+            return cache[key](table, x, mask)
+        return self._encode_plain(table, x, mask, levels)
 
     __call__ = apply

@@ -171,10 +171,13 @@ def march_rays_dense(rays_o, rays_d, *, near_plane, far_plane, num_samples,
     t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
     t_near = jnp.maximum(t_near, near_plane)
     t_far = jnp.minimum(t_far, far_plane)
+    # unstratified: samples at exactly near + i*step, i = 0..S-1 (covers
+    # the full [near, far] range like the reference's uniform marching);
+    # stratified jitter only when an rng is provided
     if rng is not None:
         u = jax.random.uniform(rng, (n_rays, 1))
     else:
-        u = jnp.zeros((n_rays, 1)) + 0.5
+        u = jnp.zeros((n_rays, 1))
     steps = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
     t0 = near_plane + (steps + u) * step_size
     t_starts = t0 - 0.5 * step_size

@@ -49,12 +49,19 @@ def square_to_cosine_hemisphere(u):
     return jnp.stack([x, y, z], -1)
 
 
-def fresnel_schlick(f0, cos_theta):
-    return f0 + (1.0 - f0) * jnp.clip(1.0 - cos_theta, 0.0, 1.0) ** 5
+SPECULAR_EPS = 1e-4  # reference bsdf.py specular_epsilon
+
+
+def fresnel_schlick(f0, cos_theta, f90=1.0):
+    """Schlick Fresnel (bsdf_fresnel_shlick mirror: cos clamped to
+    [eps, 1-eps])."""
+    c = jnp.clip(cos_theta, SPECULAR_EPS, 1.0 - SPECULAR_EPS)
+    return f0 + (f90 - f0) * (1.0 - c) ** 5
 
 
 def eval_ggx_ndf(alpha, cos_theta_h):
-    c = jnp.clip(cos_theta_h, 0.0, 1.0)
+    """GGX NDF (bsdf_ndf_ggx mirror; alpha = roughness²)."""
+    c = jnp.clip(cos_theta_h, SPECULAR_EPS, 1.0 - SPECULAR_EPS)
     a2 = alpha * alpha
     d = (c * a2 - c) * c + 1.0
     return a2 / jnp.maximum(d * d * math.pi, 1e-12)
@@ -65,6 +72,20 @@ def smith_ggx_g1(alpha, cos_theta):
     a2 = alpha * alpha
     t2 = (1.0 - c * c) / (c * c)
     return 2.0 / (1.0 + jnp.sqrt(1.0 + a2 * t2))
+
+
+def smith_ggx_lambda(alpha, cos_theta):
+    """Smith Λ for GGX (bsdf_lambda_ggx mirror; alpha = roughness²)."""
+    c = jnp.clip(cos_theta, SPECULAR_EPS, 1.0 - SPECULAR_EPS)
+    t2 = (1.0 - c * c) / (c * c)
+    return 0.5 * (jnp.sqrt(1.0 + (alpha * alpha) * t2) - 1.0)
+
+
+def smith_ggx_g_correlated(alpha, cos_theta_i, cos_theta_o):
+    """Height-correlated Smith masking-shadowing
+    (bsdf_masking_smith_ggx_correlated mirror): 1 / (1 + Λi + Λo)."""
+    return 1.0 / (1.0 + smith_ggx_lambda(alpha, cos_theta_i)
+                  + smith_ggx_lambda(alpha, cos_theta_o))
 
 
 def sample_ggx_vndf(wi_local, alpha, u):
@@ -112,7 +133,9 @@ def lambert(nrm, wi):
 
 
 def frostbite_diffuse(nrm, wi, wo, linear_roughness):
-    """Frostbite normalized Disney diffuse (bsdf.py mirror)."""
+    """Frostbite normalized Disney diffuse (bsdf_frostbite mirror:
+    wiScatter * woScatter * energyFactor, zeroed when either side is
+    backfacing — no extra cosine/pi factor, exactly like the oracle)."""
     wi_dot_n = jnp.sum(nrm * wi, -1, keepdims=True)
     wo_dot_n = jnp.sum(nrm * wo, -1, keepdims=True)
     h = wi + wo
@@ -121,19 +144,10 @@ def frostbite_diffuse(nrm, wi, wo, linear_roughness):
     energy_bias = 0.5 * linear_roughness
     energy_factor = 1.0 - (0.51 / 1.51) * linear_roughness
     f90 = energy_bias + 2.0 * wi_dot_h ** 2 * linear_roughness
-    f0 = jnp.ones_like(f90)
-
-    def fresnel(f0_, f90_, cos_t):
-        return f0_ + (f90_ - f0_) * jnp.clip(1.0 - cos_t, 0.0, 1.0) ** 5
-
-    light_scatter = fresnel(f0, f90, jnp.clip(wi_dot_n, 0, 1))
-    view_scatter = fresnel(f0, f90, jnp.clip(wo_dot_n, 0, 1))
+    light_scatter = fresnel_schlick(1.0, wi_dot_n, f90=f90)
+    view_scatter = fresnel_schlick(1.0, wo_dot_n, f90=f90)
     mask = (wi_dot_n > 0) & (wo_dot_n > 0)
-    return jnp.where(
-        mask,
-        light_scatter * view_scatter * energy_factor
-        * jnp.clip(wi_dot_n, 0, 1) / math.pi,
-        0.0)
+    return jnp.where(mask, light_scatter * view_scatter * energy_factor, 0.0)
 
 
 def pbr_specular(col, nrm, wo, wi, alpha, min_roughness=0.08):
@@ -145,12 +159,15 @@ def pbr_specular(col, nrm, wo, wi, alpha, min_roughness=0.08):
     wi_dot_n = jnp.sum(wi * nrm, -1, keepdims=True)
     wo_dot_h = jnp.sum(wo * h, -1, keepdims=True)
     n_dot_h = jnp.sum(nrm * h, -1, keepdims=True)
-    d = eval_ggx_ndf(alpha, n_dot_h[..., 0])[..., None]
-    g = (smith_ggx_g1(alpha, wi_dot_n[..., 0])
-         * smith_ggx_g1(alpha, wo_dot_n[..., 0]))[..., None]
+    a = alpha[..., 0]  # scalar-cos helpers take [...]-shaped args
+    d = eval_ggx_ndf(a, n_dot_h[..., 0])[..., None]
+    # height-correlated Smith (reference bsdf_pbr_specular uses
+    # bsdf_masking_smith_ggx_correlated, not separable G1*G1)
+    g = smith_ggx_g_correlated(a, wi_dot_n[..., 0],
+                               wo_dot_n[..., 0])[..., None]
     f = fresnel_schlick(col, wo_dot_h)
-    res = f * d * g * 0.25 / jnp.clip(wo_dot_n, 1e-6, None)
-    mask = (wi_dot_n > 0) & (wo_dot_n > 0)
+    res = f * d * g * 0.25 / jnp.clip(wo_dot_n, SPECULAR_EPS, None)
+    mask = (wi_dot_n > SPECULAR_EPS) & (wo_dot_n > SPECULAR_EPS)
     return jnp.where(mask, res, 0.0)
 
 

@@ -63,23 +63,54 @@ class BaseSystem:
         return start_value + (end_value - start_value) * t
 
     # ------------------------------------------------------------------ #
-    # checkpointing: flatten the state pytree to ordered arrays
+    # checkpointing: leaves keyed by their tree path (structure changes
+    # fail loudly on load instead of silently misassigning weights)
+    @staticmethod
+    def _path_str(path) -> str:
+        parts = []
+        for p in path:
+            if isinstance(p, jax.tree_util.DictKey):
+                parts.append(str(p.key))
+            elif isinstance(p, jax.tree_util.SequenceKey):
+                parts.append(str(p.idx))
+            elif isinstance(p, jax.tree_util.GetAttrKey):
+                parts.append(p.name)
+            else:
+                parts.append(str(p))
+        return "/".join(parts)
+
     def save_checkpoint(self, state, path: Optional[str] = None) -> str:
         path = path or os.path.join(self.ckpt_dir,
                                     f"step_{int(state['step'])}.ckpt.npz")
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        leaves = jax.tree_util.tree_leaves(state)
-        np.savez(path, **{f"leaf_{i}": np.asarray(l)
-                          for i, l in enumerate(leaves)})
+        flat, _ = jax.tree_util.tree_flatten_with_path(state)
+        np.savez(path, **{"k:" + self._path_str(p): np.asarray(l)
+                          for p, l in flat})
         return path
 
     def load_checkpoint(self, path: str, template_state):
         data = np.load(path)
-        leaves, treedef = jax.tree_util.tree_flatten(template_state)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(template_state)
+        if any(k.startswith("leaf_") for k in data.files):
+            # legacy positional format (round-1 checkpoints)
+            new_leaves = [jnp.asarray(data[f"leaf_{i}"])
+                          for i in range(len(flat))]
+            return jax.tree_util.tree_unflatten(treedef, new_leaves)
         new_leaves = []
-        for i, leaf in enumerate(leaves):
-            arr = data[f"leaf_{i}"]
-            new_leaves.append(jnp.asarray(arr))
+        for p, leaf in flat:
+            key = "k:" + self._path_str(p)
+            if key not in data:
+                raise KeyError(
+                    f"checkpoint {path} has no entry for state path "
+                    f"'{self._path_str(p)}' — was it saved from a different "
+                    "model/optimizer config?")
+            arr = data[key]
+            want = tuple(np.shape(leaf))
+            if tuple(arr.shape) != want:
+                raise ValueError(
+                    f"checkpoint shape mismatch at '{self._path_str(p)}': "
+                    f"saved {tuple(arr.shape)}, state expects {want}")
+            new_leaves.append(jnp.asarray(arr, dtype=np.asarray(leaf).dtype))
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     def load_weights_only(self, path: str, template_state):

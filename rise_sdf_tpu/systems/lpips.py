@@ -17,8 +17,9 @@ from typing import Optional
 
 import numpy as np
 
-_WEIGHTS_PATH = "load/lpips/vgg16_lpips.npz"
-_CACHE = {"weights": None, "checked": False}
+_WEIGHTS_PATH = os.environ.get("RISE_SDF_LPIPS_WEIGHTS",
+                               "load/lpips/vgg16_lpips.npz")
+_CACHE = {"weights": None, "checked": False, "warned": False}
 
 # VGG16 feature config: (out_channels, n_convs) per block
 _BLOCKS = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
@@ -30,13 +31,25 @@ def _load_weights():
     if _CACHE["checked"]:
         return _CACHE["weights"]
     _CACHE["checked"] = True
-    if os.path.exists(_WEIGHTS_PATH):
-        _CACHE["weights"] = dict(np.load(_WEIGHTS_PATH))
+    path = os.environ.get("RISE_SDF_LPIPS_WEIGHTS", _WEIGHTS_PATH)
+    if os.path.exists(path):
+        _CACHE["weights"] = dict(np.load(path))
     return _CACHE["weights"]
 
 
 def available() -> bool:
-    return _load_weights() is not None
+    ok = _load_weights() is not None
+    if not ok and not _CACHE["warned"]:
+        _CACHE["warned"] = True
+        print("NOTE: LPIPS disabled — no VGG16 weights at "
+              f"'{_WEIGHTS_PATH}' (set RISE_SDF_LPIPS_WEIGHTS to enable); "
+              "PSNR/SSIM are still reported", flush=True)
+    return ok
+
+
+def reset_cache():
+    """Re-check the weights file (tests / late weight drops)."""
+    _CACHE.update({"weights": None, "checked": False, "warned": False})
 
 
 def lpips(img0: np.ndarray, img1: np.ndarray) -> Optional[float]:

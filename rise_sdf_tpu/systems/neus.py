@@ -43,6 +43,7 @@ class NeuSSystem(BaseSystem):
             mc.get("eval_samples_per_ray", 128))
         self.grid_prune = bool(mc.get("grid_prune", True))
         self.background_color_mode = mc.get("background_color", "random")
+        self.bg_srgb = False  # split system composites bg in sRGB space
         self.tx = None
 
     # ------------------------------------------------------------------ #
@@ -68,12 +69,15 @@ class NeuSSystem(BaseSystem):
         }
 
     # ------------------------------------------------------------------ #
-    def sample_batch(self, rng, data, bg_srgb: bool = False):
+    def sample_batch(self, rng, data, bg_srgb: Optional[bool] = None,
+                     num_rays: Optional[int] = None):
         """On-device random (image, pixel) ray batch (reference
         systems/neus.py:34-86)."""
+        if bg_srgb is None:
+            bg_srgb = self.bg_srgb
         n_img, h, w = data["images"].shape[:3]
         k1, k2, k3, k4 = jax.random.split(rng, 4)
-        r = self.train_num_rays
+        r = num_rays or self.train_num_rays
         idx = jax.random.randint(k1, (r,), 0, n_img)
         x = jax.random.randint(k2, (r,), 0, w)
         y = jax.random.randint(k3, (r,), 0, h)
@@ -146,42 +150,104 @@ class NeuSSystem(BaseSystem):
         return loss, losses
 
     # ------------------------------------------------------------------ #
-    def make_train_step(self):
-        model = self.model
+    def forward_loss(self, params, batch, occ_binary, step, rng, stage,
+                     capacity, levels=None):
+        """Model forward + loss assembly; the one train-step body shared by
+        the single-device and sharded paths.  ``stage`` is ignored here
+        (geometry-only); the split system overrides this."""
+        out = self.model.forward(
+            params, batch["rays"], occ_binary=occ_binary, step=step, rng=rng,
+            train=True, capacity=capacity, background_color=batch["bg"],
+            levels=levels)
+        loss, losses = self.compute_losses(out, batch, step)
+        aux = dict(losses)
+        aux["inv_s"] = out["inv_s"]
+        aux["num_samples"] = out["num_samples"]
+        aux["num_rays"] = out["ray_included"].sum()
+        return loss, aux
+
+    def train_stage(self, step: int):
+        """Static stage flag for step (None = unstaged); split overrides."""
+        return None
+
+    def make_train_step(self, stage=None, mesh=None, levels=None):
+        """One jitted train step.
+
+        With ``mesh`` (a 1-D ``data`` mesh), the ray batch is sharded over
+        devices via ``shard_map`` — each device samples/marches its own
+        rays with a per-device sample budget and gradients are ``pmean``-ed
+        over ICI (DDP semantics, reference ``launch.py:84-97``).  The loss
+        body is identical in both modes.  Sharded signature:
+        ``f(state, rngs[D], data)``; single-device: ``f(state, rng, data)``.
+
+        ``levels``: static open-hash-level count — closed levels are
+        compiled away (one recompile per opened band, ~11 per run).
+        """
         tx = self.tx
+        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        num_rays = max(self.train_num_rays // ndev, 1)
+        capacity = max(self.capacity // ndev, 16)
+        axis = "data" if mesh is not None else None
+
+        def step_body(params, opt_state, occ_binary, step, rng, data):
+            k_batch, k_model = jax.random.split(rng)
+            batch = self.sample_batch(k_batch, data, num_rays=num_rays)
+
+            def loss_fn(p):
+                return self.forward_loss(p, batch, occ_binary, step, k_model,
+                                         stage, capacity, levels=levels)
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            if axis:
+                grads = jax.lax.pmean(grads, axis)
+                aux = jax.tree_util.tree_map(
+                    lambda x: jax.lax.pmean(jnp.asarray(x, jnp.float32), axis),
+                    aux)
+                loss = jax.lax.pmean(loss, axis)
+            aux["loss"] = loss
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
+                                                updates)
+            new_params = self.model.post_update(new_params, step)
+            return new_params, new_opt_state, aux
+
+        if mesh is None:
+            @partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, rng, data):
+                params, opt_state, aux = step_body(
+                    state["params"], state["opt_state"], state["occ_binary"],
+                    state["step"], rng, data)
+                return {
+                    "params": params, "opt_state": opt_state,
+                    "occs": state["occs"], "occ_binary": state["occ_binary"],
+                    "step": state["step"] + 1,
+                }, aux
+
+            return train_step
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def per_device(params, opt_state, occ_binary, step, rngs, data):
+            return step_body(params, opt_state, occ_binary, step, rngs[0],
+                             data)
+
+        sharded = shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P()), check_rep=False)
 
         @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, rng, data):
-            step = state["step"]
-            k_batch, k_model = jax.random.split(rng)
-            batch = self.sample_batch(k_batch, data)
-
-            def loss_fn(params):
-                out = model.forward(
-                    params, batch["rays"], occ_binary=state["occ_binary"],
-                    step=step, rng=k_model, train=True,
-                    capacity=self.capacity,
-                    background_color=batch["bg"])
-                loss, losses = self.compute_losses(out, batch, step)
-                aux = {k: v for k, v in losses.items()}
-                aux["inv_s"] = out["inv_s"]
-                aux["num_samples"] = out["num_samples"]
-                aux["num_rays"] = out["ray_included"].sum()
-                return loss, aux
-
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"])
-            updates, opt_state = tx.update(grads, state["opt_state"],
-                                           state["params"])
-            params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state["params"], updates)
-            aux["loss"] = loss
-            new_state = {
+        def train_step(state, rngs, data):
+            params, opt_state, aux = sharded(
+                state["params"], state["opt_state"], state["occ_binary"],
+                state["step"], rngs, data)
+            return {
                 "params": params, "opt_state": opt_state,
                 "occs": state["occs"], "occ_binary": state["occ_binary"],
-                "step": step + 1,
-            }
-            return new_state, aux
+                "step": state["step"] + 1,
+            }, aux
 
         return train_step
 
@@ -228,9 +294,22 @@ class NeuSSystem(BaseSystem):
                         render_chunk)
                 res = render_chunk._fallback(
                     state["params"], state["occ_binary"], chunk, state["step"])
+                self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    @staticmethod
+    def _warn_dropped_rays(res, chunk_start):
+        """If even the 2x fallback buffer overflowed, eval metrics are
+        computed on partially-rendered pixels — make that detectable."""
+        if "ray_included" in res:
+            dropped = int((~np.asarray(res["ray_included"])).sum())
+            if dropped:
+                print(f"WARNING: eval chunk at ray {chunk_start}: {dropped} "
+                      "rays overflowed the 2x fallback sample buffer and "
+                      "were rendered partially — metrics may be corrupted",
+                      flush=True)
 
     def _make_fallback_chunk(self, render_chunk):
         return self.make_render_chunk(capacity=self.eval_capacity * 2)
@@ -239,6 +318,9 @@ class NeuSSystem(BaseSystem):
     def fit(self, max_steps: Optional[int] = None, seed: int = 42,
             state=None, log_every: int = 100,
             val_every: Optional[int] = None, on_log=None):
+        """Training loop (single-device, or sharded when ``self.mesh``
+        is set — the reference auto-enables DDP over the visible GPUs,
+        ``launch.py:84-97``)."""
         cfg_tr = self.config["trainer"]
         max_steps = max_steps or int(cfg_tr["max_steps"])
         if state is None:
@@ -247,7 +329,9 @@ class NeuSSystem(BaseSystem):
             self.init_state(seed)  # build optimizer for resumed state
         train_split = self.datamodule.train()
         data = self.device_data(train_split)
-        train_step = self.make_train_step()
+        mesh = self.mesh
+        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        step_fns = {}
         occ_update = self.occupancy_update_fn()
         rng = jax.random.PRNGKey(seed + 1)
         t0 = time.time()
@@ -258,16 +342,28 @@ class NeuSSystem(BaseSystem):
                 occs, binary = occ_update(state["params"], state["occs"],
                                           state["step"], k)
                 state["occs"], state["occ_binary"] = occs, binary
+            stage = self.train_stage(step)
+            levels = self.model.open_levels(step) \
+                if hasattr(self.model, "open_levels") else None
+            key = (stage, levels)
+            if key not in step_fns:
+                step_fns[key] = self.make_train_step(stage, mesh=mesh,
+                                                     levels=levels)
             rng, k = jax.random.split(rng)
-            state, aux = train_step(state, k, data)
+            if mesh is not None:
+                k = jax.random.split(k, ndev)
+            state, aux = step_fns[key](state, k, data)
             if log_every and (step % log_every == 0 or step == max_steps - 1):
-                m = {k: float(v) for k, v in aux.items()}
+                m = {k2: float(v) for k2, v in aux.items()}
                 m["steps_per_sec"] = (step - start + 1) / (time.time() - t0)
                 if on_log:
                     on_log(step, m)
                 else:
-                    print(f"step {step}: loss={m['loss']:.4f} "
-                          f"psnr_proxy_mse={m['rgb_mse']:.5f} "
+                    tag = f"[s{stage}]" if stage is not None else ""
+                    extra = (f" phys={m['rgb_phys_mse']:.5f}"
+                             if "rgb_phys_mse" in m else "")
+                    print(f"step {step}{tag}: loss={m['loss']:.4f} "
+                          f"mse={m['rgb_mse']:.5f}{extra} "
                           f"inv_s={m['inv_s']:.1f} "
                           f"rays={int(m['num_rays'])} "
                           f"samples={int(m['num_samples'])} "

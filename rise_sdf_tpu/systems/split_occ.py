@@ -14,8 +14,6 @@ emitter mips every step even in stage 0 where they are unused
 from __future__ import annotations
 
 import os
-import time
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -33,6 +31,7 @@ from ..utils.color import linear_to_srgb_np
 class SplitOccSystem(NeuSSystem):
     def prepare(self):
         super().prepare()
+        self.bg_srgb = True  # composite bg in sRGB (reference split_occ.py)
         self.relight_list = list(self.config["dataset"].get("relight_list", []))
 
     # ------------------------------------------------------------------ #
@@ -72,45 +71,25 @@ class SplitOccSystem(NeuSSystem):
         return loss, losses
 
     # ------------------------------------------------------------------ #
-    def make_train_step(self, stage: int = 0):
+    def forward_loss(self, params, batch, occ_binary, step, rng, stage,
+                     capacity, levels=None):
+        stage = 0 if stage is None else stage
         model = self.model
-        tx = self.tx
+        mips = model.emitter.build_mips(params["emitter"]) \
+            if stage != 0 else None
+        out = model.forward(
+            params, batch["rays"], occ_binary=occ_binary, mips=mips,
+            step=step, rng=rng, stage=stage, train=True, capacity=capacity,
+            background_color=batch["bg"], levels=levels)
+        loss, losses = self.compute_losses(out, batch, step, stage)
+        aux = dict(losses)
+        aux["inv_s"] = out["inv_s"]
+        aux["num_samples"] = out["num_samples"]
+        aux["num_rays"] = out["ray_included"].sum()
+        return loss, aux
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def train_step(state, rng, data):
-            step = state["step"]
-            k_batch, k_model = jax.random.split(rng)
-            batch = self.sample_batch(k_batch, data, bg_srgb=True)
-
-            def loss_fn(params):
-                mips = model.emitter.build_mips(params["emitter"]) \
-                    if stage != 0 else None
-                out = model.forward(
-                    params, batch["rays"], occ_binary=state["occ_binary"],
-                    mips=mips, step=step, rng=k_model, stage=stage,
-                    train=True, capacity=self.capacity,
-                    background_color=batch["bg"])
-                loss, losses = self.compute_losses(out, batch, step, stage)
-                aux = dict(losses)
-                aux["inv_s"] = out["inv_s"]
-                aux["num_samples"] = out["num_samples"]
-                aux["num_rays"] = out["ray_included"].sum()
-                return loss, aux
-
-            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"])
-            updates, opt_state = tx.update(grads, state["opt_state"],
-                                           state["params"])
-            params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                            state["params"], updates)
-            aux["loss"] = loss
-            return {
-                "params": params, "opt_state": opt_state,
-                "occs": state["occs"], "occ_binary": state["occ_binary"],
-                "step": step + 1,
-            }, aux
-
-        return train_step
+    def train_stage(self, step: int) -> int:
+        return self.model.stage(step)
 
     def make_render_chunk(self, stage: int = 1, relighting: bool = False,
                           capacity=None):
@@ -178,54 +157,10 @@ class SplitOccSystem(NeuSSystem):
                 res = render_chunk._fallback(
                     state["params"], state["occ_binary"], chunk,
                     state["step"], mips)
+                self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
-
-    # ------------------------------------------------------------------ #
-    def fit(self, max_steps: Optional[int] = None, seed: int = 42,
-            state=None, log_every: int = 100,
-            val_every: Optional[int] = None, on_log=None):
-        cfg_tr = self.config["trainer"]
-        max_steps = max_steps or int(cfg_tr["max_steps"])
-        if state is None:
-            state = self.init_state(seed)
-        elif self.tx is None:
-            self.init_state(seed)
-        train_split = self.datamodule.train()
-        data = self.device_data(train_split)
-        steps = {s: self.make_train_step(s) for s in (0, 1)}
-        occ_update = self.occupancy_update_fn()
-        rng = jax.random.PRNGKey(seed + 1)
-        t0 = time.time()
-        start = int(state["step"])
-        for step in range(start, max_steps):
-            if self.grid_prune and step % 16 == 0:
-                rng, k = jax.random.split(rng)
-                occs, binary = occ_update(state["params"], state["occs"],
-                                          state["step"], k)
-                state["occs"], state["occ_binary"] = occs, binary
-            stage = self.model.stage(step)
-            rng, k = jax.random.split(rng)
-            state, aux = steps[stage](state, k, data)
-            if log_every and (step % log_every == 0 or step == max_steps - 1):
-                m = {k2: float(v) for k2, v in aux.items()}
-                m["steps_per_sec"] = (step - start + 1) / (time.time() - t0)
-                if on_log:
-                    on_log(step, m)
-                else:
-                    extra = (f" phys={m.get('rgb_phys_mse', 0):.5f}"
-                             if stage else "")
-                    print(f"step {step}[s{stage}]: loss={m['loss']:.4f} "
-                          f"mse={m['rgb_mse']:.5f}{extra} "
-                          f"inv_s={m['inv_s']:.1f} "
-                          f"rays={int(m['num_rays'])} "
-                          f"samples={int(m['num_samples'])} "
-                          f"sps={m['steps_per_sec']:.2f}", flush=True)
-            if val_every and step > 0 and step % val_every == 0:
-                self.validate(state, n_images=1)
-        self.save_checkpoint(state)
-        return state
 
     # ------------------------------------------------------------------ #
     def _save_envmap(self, state):

@@ -43,19 +43,21 @@ def main():
           file=sys.stderr, flush=True)
     state["occs"], state["occ_binary"] = occs, binary
 
-    for stage in (0, 1):
-        ts = system.make_train_step(stage)
+    n_levels = system.model.open_levels(10 ** 9)  # all open
+    warm_levels = system.model.open_levels(0)
+    for stage, levels in ((0, warm_levels), (0, n_levels), (1, n_levels)):
+        ts = system.make_train_step(stage, levels=levels)
         t0 = time.time()
         state, aux = ts(state, jax.random.PRNGKey(2), data)
         jax.block_until_ready(aux["loss"])
-        print(f"stage{stage} compile+first: {time.time() - t0:.1f}s "
+        print(f"stage{stage}/L{levels} compile+first: {time.time() - t0:.1f}s "
               f"loss={float(aux['loss']):.4f}", file=sys.stderr, flush=True)
         t0 = time.time()
         n = 10
         for i in range(n):
             state, aux = ts(state, jax.random.PRNGKey(3 + i), data)
         jax.block_until_ready(aux["loss"])
-        print(f"stage{stage} steady: {(time.time() - t0) / n * 1e3:.1f} "
+        print(f"stage{stage}/L{levels} steady: {(time.time() - t0) / n * 1e3:.1f} "
               f"ms/step rays={int(aux['num_rays'])} "
               f"samples={int(aux['num_samples'])}",
               file=sys.stderr, flush=True)

@@ -10,7 +10,18 @@ import os
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard override (not setdefault): the host may preset JAX_PLATFORMS=axon
+# (tunneled TPU) — the test suite always runs on the virtual CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def pytest_configure(config):
+    # belt-and-braces: if a plugin imported jax before this conftest, the
+    # env var was read too early — force the platform on the live config
+    # (works as long as the backend hasn't initialized yet)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

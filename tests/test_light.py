@@ -46,7 +46,7 @@ def test_specular_blur_increases_with_level():
     # peak magnitude decreases monotonically with roughness/level
     # (level 0's kernel may be sub-texel at low res -> near-identity)
     assert all(maxima[i] > maxima[i + 1] for i in range(len(maxima) - 1)), maxima
-    assert maxima[0] <= 50.0 and maxima[-1] < 10.0
+    assert maxima[0] <= 50.0 * (1 + 1e-5) and maxima[-1] < 10.0
 
 
 def test_cutoff_monotone():

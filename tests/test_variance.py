@@ -1,0 +1,61 @@
+"""Variance modulation semantics (reference VarianceNetwork,
+models/split_mixed_occ.py:21-56): the cap ramps from prev_inv_s — the
+value when modulation starts — to max_inv_s, not from zero."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rise_sdf_tpu.models.variance import Variance
+
+
+def _ref_inv_s(variance_by_step, cfg, step):
+    """Oracle: replay the reference's update_step/prev_inv_s logic."""
+    prev = None
+    for s in range(step + 1):
+        do_mod = s > cfg["mod_start_steps"]
+        if not do_mod:
+            prev = float(np.exp(variance_by_step[s] * 10.0))
+    val = float(np.exp(variance_by_step[step] * 10.0))
+    if step > cfg["mod_start_steps"]:
+        cap = min((step / cfg["reach_max_steps"])
+                  * (cfg["max_inv_s"] - prev) + prev, cfg["max_inv_s"])
+        val = min(val, cap)
+    return val
+
+
+def test_modulation_ramps_from_prev_inv_s():
+    cfg = {"init_val": 0.3, "modulate": True, "mod_start_steps": 5,
+           "reach_max_steps": 20, "max_inv_s": 1024.0}
+    var = Variance(cfg)
+    params = var.init(jax.random.PRNGKey(0))
+    # simulate training: variance grows linearly step by step
+    variance_by_step = [0.3 + 0.05 * s for s in range(30)]
+    for s in range(30):
+        params["variance"] = jnp.asarray(variance_by_step[s], jnp.float32)
+        got = float(var.inv_s(params, s))
+        want = _ref_inv_s(variance_by_step, cfg, s)
+        np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=f"step {s}")
+        params = var.post_update(params, s)
+
+
+def test_no_collapse_at_mod_start():
+    """At mod_start+1 the cap must sit at ~prev_inv_s, not near zero
+    (the round-1 bug clamped a trained inv_s of ~300 down to the ramp)."""
+    cfg = {"init_val": 0.3, "modulate": True, "mod_start_steps": 100,
+           "reach_max_steps": 100000, "max_inv_s": 1024.0}
+    var = Variance(cfg)
+    params = var.init(jax.random.PRNGKey(0))
+    params["variance"] = jnp.asarray(0.57, jnp.float32)  # inv_s ~ 300
+    params = var.post_update(params, 100)  # capture prev at mod start
+    got = float(var.inv_s(params, 101))
+    assert got > 290.0, f"inv_s collapsed to {got} at mod start"
+
+
+def test_unmodulated_passthrough():
+    var = Variance({"init_val": 0.3, "modulate": False})
+    params = var.init(jax.random.PRNGKey(0))
+    assert "prev_inv_s" not in params
+    np.testing.assert_allclose(float(var.inv_s(params, 50)),
+                               float(np.exp(3.0)), rtol=1e-5)
+    assert var.post_update(params, 50) is params
