@@ -44,6 +44,11 @@ class HashGridEncoding:
         self.table_size = 2 ** self.log2_hashmap_size
         self.n_output_dims = self.n_levels * self.n_features_per_level
 
+        # table-gradient scatter implementation: 'auto' picks the Pallas
+        # VMEM-accumulator kernel on TPU (17 vs 79 ns/row), XLA elsewhere
+        self.scatter_impl = config.get("scatter_impl", "auto")
+        self._scatter_mode = None  # resolved lazily (needs a backend)
+
         # progressive band opening (ProgressiveBandHashGrid); for plain
         # HashGrid all levels are always open
         self.progressive = config.get("otype", "HashGrid") == "ProgressiveBandHashGrid"
@@ -85,6 +90,30 @@ class HashGridEncoding:
         """[L] float mask of open levels (fn of step, traced under jit)."""
         cur = self.current_level(step)
         return (jnp.arange(self.n_levels) < cur).astype(jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    def _lookup(self, table_l, flat):
+        """``table_l[flat]`` whose table-gradient uses the Pallas
+        scatter-add kernel on TPU (first-order in the table — safe here,
+        position gradients flow through the interpolation weights)."""
+        if self._scatter_mode is None:
+            impl = self.scatter_impl
+            interp = False
+            if impl == "auto":
+                from .scatter_pallas import _use_tpu
+
+                impl = "pallas" if _use_tpu() else "xla"
+            elif impl == "pallas":
+                from .scatter_pallas import _use_tpu
+
+                interp = not _use_tpu()  # tests on CPU: interpret mode
+            self._scatter_mode = (impl, interp)
+        impl, interp = self._scatter_mode
+        if impl == "pallas":
+            from .scatter_pallas import table_grad_lookup
+
+            return table_grad_lookup(table_l, flat, interp)
+        return table_l[flat]
 
     # ------------------------------------------------------------------ #
     def _corner_indices(self, i0: jnp.ndarray, level: int) -> jnp.ndarray:
@@ -161,7 +190,7 @@ class HashGridEncoding:
                 feats.append(zero)
                 continue
             w, flat = self._level_geometry(x, l)
-            vals = table[l][flat]  # [N,8,F]
+            vals = self._lookup(table[l], flat)  # [N,8,F]
             cw, _ = self._corner_weights(w)
             feats.append(jnp.einsum("nc,ncf->nf", cw, vals) * mask[l])
         return jnp.concatenate(feats, axis=-1)
@@ -192,7 +221,7 @@ class HashGridEncoding:
                 jzs.append(zero)
                 continue
             w, flat = self._level_geometry(x, l)
-            vals = table[l][flat]  # [N,8,F]
+            vals = self._lookup(table[l], flat)  # [N,8,F]
             cw, dcw = self._corner_weights(w)
             m = mask[l]
             res = float(self.resolutions[l])
@@ -239,7 +268,7 @@ class HashGridEncoding:
                                  ).reshape(-1, F))             # [N*8,F]
                 gids.append((flat + l * T).reshape(-1))
                 # d_x path (DCE'd when unused): needs gathered values
-                vals = table[l][flat]                          # [N,8,F]
+                vals = self._lookup(table[l], flat)                          # [N,8,F]
                 gv = jnp.einsum("ncf,nf->nc", vals, gm)        # [N,8]
                 dfracs.append(jnp.einsum("nc,ncd->nd", gv, dcw)
                               * float(self.resolutions[l]))
