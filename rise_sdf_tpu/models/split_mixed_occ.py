@@ -43,6 +43,14 @@ class SplitMixedOccModel:
             config.get("num_samples_per_secondary_ray", 96))
         self.secondary_near_plane = float(config.get("secondary_near_plane", 0.05))
         self.secondary_far_plane = float(config.get("secondary_far_plane", 1.5))
+        # fraction of R*S secondary samples kept after occupancy
+        # compaction (1.0 = full-width, exact reference behavior)
+        self.secondary_sample_capacity_frac = float(
+            config.get("secondary_sample_capacity_frac", 1.0))
+        # eval-only: fraction of the sample capacity kept for the texture
+        # stage after visibility (weight > 1e-5) compaction (1.0 = off)
+        self.eval_visibility_frac = float(
+            config.get("eval_visibility_frac", 1.0))
         self.grid_resolution = int(config.get("grid_resolution", 128))
         self.cos_anneal_end = int(config.get("cos_anneal_end", 0))
         self.randomized = bool(config.get("randomized", True))
@@ -109,12 +117,16 @@ class SplitMixedOccModel:
         return neus_alpha(geo["sdf"], inv_s, true_cos, dists, cos_anneal_ratio)
 
     def compute_indirect_radiance(self, params, rays_o, rays_d, occ_binary,
-                                  step, levels=None):
+                                  step, levels=None, frac=None):
         """Transmittance + expected depth along secondary rays (no grad).
 
         Reference ``models/split_mixed_occ.py:179-222``: 96 uniform
         samples in [0.05, 1.5], occupancy-masked, NeuS alpha, returns
-        (1 - opacity, depth).  Computed full-width and masked by caller.
+        (1 - opacity, depth, included).  The geometry eval runs on
+        occupancy-live samples compacted to a fixed budget (live
+        fraction along secondary rays is small once the grid converges
+        — full-width eval was ~half the render-chunk cost); overflowed
+        rays are flagged so the caller's 2x fallback re-renders them.
         """
         ts, te, live = march.march_rays_dense(
             rays_o, rays_d, near_plane=self.secondary_near_plane,
@@ -127,23 +139,54 @@ class SplitMixedOccModel:
         pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
         n, s = pos.shape[0], pos.shape[1]
         t_dirs = jnp.broadcast_to(rays_d[:, None, :], pos.shape)
-        alpha = self._alpha_at(
-            params, pos.reshape(-1, 3), t_dirs.reshape(-1, 3),
-            dists.reshape(-1), step, jnp.asarray(1.0),
-            levels=levels).reshape(n, s)
+
+        if frac is None:
+            frac = self.secondary_sample_capacity_frac
+        cap = int(frac * n * s)
+        if cap >= n * s:
+            alpha = self._alpha_at(
+                params, pos.reshape(-1, 3), t_dirs.reshape(-1, 3),
+                dists.reshape(-1), step, jnp.asarray(1.0),
+                levels=levels).reshape(n, s)
+            included = jnp.ones((n,), bool)
+        else:
+            # compact live samples -> fixed buffer (march-style cumsum)
+            flat_live = live.reshape(-1)
+            pos_in_buf = jnp.cumsum(flat_live.astype(jnp.int32)) - 1
+            ok = flat_live & (pos_in_buf < cap)
+            dest = jnp.where(ok, pos_in_buf, cap)
+            flat_idx = jnp.arange(n * s, dtype=jnp.int32)
+            src = jnp.zeros((cap,), jnp.int32).at[dest].set(
+                flat_idx, mode="drop")
+            n_in = jnp.minimum(pos_in_buf[-1] + 1, cap)
+            buf_valid = jnp.arange(cap) < n_in
+            a_c = self._alpha_at(
+                params, pos.reshape(-1, 3)[src], t_dirs.reshape(-1, 3)[src],
+                dists.reshape(-1)[src], step, jnp.asarray(1.0),
+                levels=levels)
+            a_c = jnp.where(buf_valid, a_c, 0.0)
+            alpha = jnp.zeros((n * s,), a_c.dtype).at[
+                jnp.where(buf_valid, src, n * s)].set(
+                a_c, mode="drop").reshape(n, s)
+            # rays whose live samples overflowed the buffer
+            ray_end = jnp.cumsum(live.sum(axis=1).astype(jnp.int32))
+            included = ray_end <= cap
         alpha = jnp.where(live, alpha, 0.0)
         w, _ = volrend.render_weight_from_alpha_dense(alpha, live)
         acc = w.sum(axis=1, keepdims=True)
         depth = (w * t_mid).sum(axis=1, keepdims=True)
         return jax.lax.stop_gradient(jnp.clip(1.0 - acc, 0.0, 1.0)), \
-            jax.lax.stop_gradient(depth)
+            jax.lax.stop_gradient(depth), included
 
     # ------------------------------------------------------------------ #
     def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
                 stage: int = 0, train: bool = False, relighting: bool = False,
-                capacity: int, background_color, levels=None):
+                capacity: int, background_color, levels=None,
+                secondary_frac=None):
         """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
-        levels static (``levels`` = open hash levels; None = all)."""
+        levels/secondary_frac static (``levels`` = open hash levels;
+        None = all; ``secondary_frac`` overrides the secondary-sample
+        compaction budget, e.g. for the eval overflow fallback)."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = laplace_rng = None
@@ -177,12 +220,44 @@ class SplitMixedOccModel:
         alpha = neus_alpha(sdf, inv_s, true_cos, dists,
                            self.cos_anneal_ratio(step))
 
-        tex = self.texture.apply(
-            params["texture"], feature, t_dirs, normal, positions,
-            emitter=self.emitter, mips=mips, stage=stage, step=step)
-
         weights, _ = volrend.render_weight_from_alpha(
             alpha, rs.ray_start, rs.ray_indices, rs.valid, n_rays)
+
+        included = rs.ray_included
+        use_vis = (not train) and self.eval_visibility_frac < 1.0
+        if use_vis:
+            # eval visibility compaction: the expensive texture stage
+            # (5 MLP heads + mip evals + FG LUT) only runs on samples
+            # whose render weight exceeds tau — everything below
+            # contributes < tau per channel and is dropped
+            cap2 = max(int(capacity * self.eval_visibility_frac), 16)
+            vis = (weights > 1e-5) & rs.valid
+            pos_in_buf = jnp.cumsum(vis.astype(jnp.int32)) - 1
+            ok = vis & (pos_in_buf < cap2)
+            dest = jnp.where(ok, pos_in_buf, cap2)
+            src = jnp.zeros((cap2,), jnp.int32).at[dest].set(
+                jnp.arange(capacity, dtype=jnp.int32), mode="drop")
+            n_in = jnp.minimum(pos_in_buf[-1] + 1, cap2)
+            bv = jnp.arange(cap2) < n_in
+            vis_cnt = jax.ops.segment_sum(
+                vis.astype(jnp.int32), rs.ray_indices,
+                num_segments=n_rays + 1)[:n_rays]
+            included = included & (jnp.cumsum(vis_cnt) <= cap2)
+            s_feature = feature[src]
+            s_dirs = t_dirs[src]
+            s_normal = normal[src]
+            s_pos = positions[src]
+            s_tmid = t_mid[src]
+            s_weights = jnp.where(bv, weights[src], 0.0)
+            s_ridx = jnp.where(bv, rs.ray_indices[src], n_rays)
+        else:
+            s_feature, s_dirs, s_normal = feature, t_dirs, normal
+            s_pos, s_tmid = positions, t_mid
+            s_weights, s_ridx = weights, rs.ray_indices
+
+        tex = self.texture.apply(
+            params["texture"], s_feature, s_dirs, s_normal, s_pos,
+            emitter=self.emitter, mips=mips, stage=stage, step=step)
 
         # pack per-sample channels for one fused accumulation
         chans = [tex["diff_rgb"], tex["spec_rgb"], tex["blend"]]
@@ -190,12 +265,12 @@ class SplitMixedOccModel:
             chans += [tex["diff_rgb_pbr"], tex["spec_rgb_pbr"],
                       tex["spec_ref"], tex["spec_light"], tex["albedo"],
                       tex["metallic"], tex["roughness"]]
-        norm_orient = jnp.clip(jnp.sum(t_dirs * normal, -1, keepdims=True),
+        norm_orient = jnp.clip(jnp.sum(s_dirs * s_normal, -1, keepdims=True),
                                0.0, None)
-        chans += [normal, t_mid[:, None], jnp.ones_like(t_mid)[:, None],
+        chans += [s_normal, s_tmid[:, None], jnp.ones_like(s_tmid)[:, None],
                   norm_orient]
         packed = jnp.concatenate(chans, axis=-1)
-        acc = volrend.accumulate_along_rays(weights, rs.ray_indices, packed,
+        acc = volrend.accumulate_along_rays(s_weights, s_ridx, packed,
                                             n_rays)
         i = 0
 
@@ -228,8 +303,12 @@ class SplitMixedOccModel:
             wo = -rays_d
             sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
                 * normal_map - wo
-            tr, sec_depth = self.compute_indirect_radiance(
-                params, sec_o, sec_d, occ_binary, step, levels=levels)
+            tr, sec_depth, sec_inc = self.compute_indirect_radiance(
+                params, sec_o, sec_d, occ_binary, step, levels=levels,
+                frac=secondary_frac)
+            # secondary-compaction overflow only matters where the
+            # secondary result is actually blended in
+            included = included & (sec_inc | ~sec_valid)
             sec_geo = self.geometry.forward(
                 params["geometry"], sec_o, step, with_grad=False,
                 with_feature=True, levels=levels)
@@ -276,7 +355,7 @@ class SplitMixedOccModel:
             "depth": depth_map,
             "rays_valid": acc_map > 0,
             "num_samples": rs.num_live,
-            "ray_included": rs.ray_included,
+            "ray_included": included,
             "inv_s": inv_s,
             "comp_rgb_full": jnp.clip(
                 rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),

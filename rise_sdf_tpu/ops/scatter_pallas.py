@@ -69,7 +69,7 @@ def pallas_scatter_add(idx, vals, table_size: int, interpret: bool = False):
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-        def body(i, _):
+        def one(i):
             t = idx_ref[0, i]
             row = t // epr
             lane = (t % epr) * f
@@ -78,9 +78,16 @@ def pallas_scatter_add(idx, vals, table_size: int, interpret: bool = False):
                 contrib = jnp.where(iota == lane + c, vals_ref[c, i],
                                     contrib)
             out_ref[pl.ds(row, 1), :] = out_ref[pl.ds(row, 1), :] + contrib
+
+        unroll = 8  # manual: Mosaic's fori_loop unroll only allows 1/full
+
+        def body(j, _):
+            base = j * unroll
+            for k in range(unroll):
+                one(base + k)
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, body, 0)
+        jax.lax.fori_loop(0, CHUNK // unroll, body, 0)
 
     out = pl.pallas_call(
         kernel,

@@ -92,7 +92,7 @@ class SplitOccSystem(NeuSSystem):
         return self.model.stage(step)
 
     def make_render_chunk(self, stage: int = 1, relighting: bool = False,
-                          capacity=None):
+                          capacity=None, secondary_frac=None):
         model = self.model
         cap = capacity or self.eval_capacity
         self._chunk_args = (stage, relighting)
@@ -102,7 +102,7 @@ class SplitOccSystem(NeuSSystem):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, mips=mips, step=step,
                 rng=None, stage=stage, train=False, relighting=relighting,
-                capacity=cap,
+                capacity=cap, secondary_frac=secondary_frac,
                 background_color=jnp.ones((3,)))
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
@@ -150,10 +150,12 @@ class SplitOccSystem(NeuSSystem):
                                state["step"], mips)
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 if not hasattr(render_chunk, "_fallback"):
+                    base_frac = self.model.secondary_sample_capacity_frac
                     render_chunk._fallback = self.make_render_chunk(
                         getattr(render_chunk, "_stage", stage),
                         getattr(render_chunk, "_relighting", False),
-                        capacity=self.eval_capacity * 2)
+                        capacity=self.eval_capacity * 2,
+                        secondary_frac=min(base_frac * 2, 1.0))
                 res = render_chunk._fallback(
                     state["params"], state["occ_binary"], chunk,
                     state["step"], mips)

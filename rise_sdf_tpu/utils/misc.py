@@ -53,3 +53,15 @@ def chunk_batch(fn: Callable, chunk_size: int, *args, pad: bool = True):
 def cleanup():
     """gc sweep (reference models/utils.py:117-120; no CUDA caches here)."""
     gc.collect()
+
+
+def gaussian_histogram(x, bins: int, vmin: float, vmax: float, sigma):
+    """Differentiable soft histogram (reference models/utils.py:123-137
+    ``GaussianHistogram``): each sample contributes a Gaussian kernel of
+    width ``sigma`` to every bin center; returns [bins] masses."""
+    delta = float(vmax - vmin) / float(bins)
+    centers = vmin + delta * (jnp.arange(bins, dtype=jnp.float32) + 0.5)
+    d = x[None, :] - centers[:, None]
+    k = jnp.exp(-0.5 * (d / sigma) ** 2) / (sigma * jnp.sqrt(2.0 * jnp.pi)) \
+        * delta
+    return k.sum(axis=1)

@@ -74,6 +74,36 @@ class Saver:
         cv2.imwrite(path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
         return path
 
+    def save_cubemap(self, filename: str, img, data_range=(0, 1)) -> str:
+        """Cubemap [6, S, S, C] as a horizontal-cross layout png, one
+        cross per 3-channel group (reference utils/mixins.py:164-184:
+        row layout [_, +y, _, _] / [-x, +z, +x, -z] / [_, -y, _, _])."""
+        img = np.asarray(img, np.float32)
+        assert img.ndim == 4 and img.shape[0] == 6 \
+            and img.shape[1] == img.shape[2], img.shape
+        crosses = []
+        for start in range(0, img.shape[-1], 3):
+            group = img[..., start:start + 3]
+            faces = np.stack([
+                self._img_to_u8({"type": "rgb", "img": group[i],
+                                 "kwargs": {"data_range": data_range}})
+                for i in range(6)], axis=0)
+            size = faces.shape[1]
+            blank = np.zeros((size, size, 3), np.uint8)
+            cross = np.concatenate([
+                np.concatenate([blank, faces[2], blank, blank], axis=1),
+                np.concatenate([faces[1], faces[4], faces[0], faces[5]],
+                               axis=1),
+                np.concatenate([blank, faces[3], blank, blank], axis=1),
+            ], axis=0)
+            crosses.append(cross)
+        import cv2
+
+        path = self.get_save_path(filename)
+        cv2.imwrite(path, cv2.cvtColor(np.concatenate(crosses, axis=1),
+                                       cv2.COLOR_RGB2BGR))
+        return path
+
     def _write_hdr(self, path: str, img: np.ndarray):
         if path.endswith(".exr"):
             from .exr import write_exr

@@ -47,7 +47,7 @@ def pallas_scatter_add(idx, vals, table_size=T):
 
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-        def body(i, _):
+        def one(i):
             t = idx_ref[0, i]
             row = t // EPR
             lane = (t % EPR) * F
@@ -58,9 +58,16 @@ def pallas_scatter_add(idx, vals, table_size=T):
             contrib = jnp.where(iota == lane, v0,
                                 jnp.where(iota == lane + 1, v1, 0.0))
             out_ref[pl.ds(row, 1), :] = out_ref[pl.ds(row, 1), :] + contrib
+
+        UNROLL = 8
+
+        def body(j, _):
+            base = j * UNROLL
+            for k in range(UNROLL):
+                one(base + k)
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, body, 0)
+        jax.lax.fori_loop(0, CHUNK // UNROLL, body, 0)
 
     out = pl.pallas_call(
         kernel,
