@@ -323,6 +323,7 @@ class NeuSSystem(BaseSystem):
         ``launch.py:84-97``)."""
         cfg_tr = self.config["trainer"]
         max_steps = max_steps or int(cfg_tr["max_steps"])
+        save_every = int(cfg_tr.get("save_every_n_steps", 0) or 0)
         if state is None:
             state = self.init_state(seed)
         elif self.tx is None:
@@ -368,6 +369,9 @@ class NeuSSystem(BaseSystem):
                           f"rays={int(m['num_rays'])} "
                           f"samples={int(m['num_samples'])} "
                           f"sps={m['steps_per_sec']:.2f}", flush=True)
+            if save_every and step > 0 and step % save_every == 0:
+                self.save_checkpoint(state, os.path.join(
+                    self.ckpt_dir, "latest.ckpt.npz"))
             if val_every and step > 0 and step % val_every == 0:
                 self.validate(state, n_images=1)
         self.save_checkpoint(state)
