@@ -57,6 +57,10 @@ class VolumeSDF:
         # there — only the finest levels (cell size <= ~4*eps) need true
         # probe encodes.  Cuts the probes' gather/scatter volume ~L/k.
         self.fd_taylor_coarse = bool(config.get("fd_taylor_coarse", True))
+        # 'central6' (reference) or 'tetra4': 4 probes at regular-
+        # tetrahedron vertices — grad = 3/(4 eps) * sum_i s(x+eps v_i) v_i
+        # (1.5x fewer probe rows; first-order accurate instead of second)
+        self.fd_probe_mode = str(config.get("fd_probe_mode", "central6"))
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -137,6 +141,29 @@ class VolumeSDF:
         return g
 
     # ------------------------------------------------------------------ #
+    # regular tetrahedron vertices (unit vectors)
+    _TETRA = ((1.0, 1.0, 1.0), (1.0, -1.0, -1.0),
+              (-1.0, 1.0, -1.0), (-1.0, -1.0, 1.0))
+
+    def _fd_offsets(self):
+        """Probe directions: 6-point central (reference) or 4-point
+        tetrahedral (sum v_i v_i^T = 4/3 I, sum v_i = 0)."""
+        if self.fd_probe_mode == "tetra4":
+            v = jnp.asarray(self._TETRA, jnp.float32)
+            return v / jnp.sqrt(3.0)
+        return jnp.asarray(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+             [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+
+    def _fd_combine(self, sdf_d, eps):
+        """[P,N] probe sdfs -> [N,3] gradient estimate."""
+        if self.fd_probe_mode == "tetra4":
+            v = jnp.asarray(self._TETRA, jnp.float32) / jnp.sqrt(3.0)
+            # E[s(x+eps v)] = s + eps v.grad; sum_i v_i = 0 kills s,
+            # sum_i v_i v_i^T = (4/3) I -> grad = 3/(4 eps) sum s_i v_i
+            return (3.0 / (4.0 * eps)) * jnp.einsum("pn,pd->nd", sdf_d, v)
+        return 0.5 * (sdf_d[0::2] - sdf_d[1::2]).T / eps
+
     def _fd_fine_k(self) -> int:
         """Number of finest levels whose cell size is within ~4x of the
         progressive eps (eps = finest open cell): these need true FD
@@ -189,18 +216,17 @@ class VolumeSDF:
                                            enc_fine(u)))
 
         eps = self.fd_eps(step, levels)
-        offsets = jnp.asarray(
-            [[1, 0, 0], [-1, 0, 0], [0, 1, 0],
-             [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
+        offsets = self._fd_offsets()
+        p = offsets.shape[0]
         xd = x_world[None, :, :] + eps * offsets[:, None, :]
         xd = jnp.clip(xd, -self.radius, self.radius)
-        ud = jnp.clip(self.contract(xd), 0.0, 1.0)  # [6,N,3]
+        ud = jnp.clip(self.contract(xd), 0.0, 1.0)  # [P,N,3]
         n = x_world.shape[0]
-        fine_d = enc_fine(ud.reshape(-1, 3)).reshape(6, n, -1)
-        enc_d = full_enc(ud, ud - u[None], fine_d)  # [6,N,D] broadcast
-        sdf_d = self._head(params, enc_d.reshape(6 * n, -1)
-                           )[..., 0].reshape(6, n)
-        grad = 0.5 * (sdf_d[0::2] - sdf_d[1::2]).T / eps
+        fine_d = enc_fine(ud.reshape(-1, 3)).reshape(p, n, -1)
+        enc_d = full_enc(ud, ud - u[None], fine_d)  # [P,N,D] broadcast
+        sdf_d = self._head(params, enc_d.reshape(p * n, -1)
+                           )[..., 0].reshape(p, n)
+        grad = self._fd_combine(sdf_d, eps)
 
         laplace = None
         if with_laplace:
@@ -273,15 +299,14 @@ class VolumeSDF:
                 pass  # computed above
             elif grad_type == "finite_difference":
                 eps = self.fd_eps(step, levels)
-                offsets = jnp.asarray(
-                    [[1, 0, 0], [-1, 0, 0], [0, 1, 0],
-                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], jnp.float32)
-                xd = x_world[:, None, :] + eps * offsets[None, :, :]
+                offsets = self._fd_offsets()
+                p = offsets.shape[0]
+                xd = x_world[None, :, :] + eps * offsets[:, None, :]
                 xd = jnp.clip(xd, -self.radius, self.radius)
+                n = x_world.shape[0]
                 sdf_d = self.sdf(params, xd.reshape(-1, 3), step,
-                                 levels=levels)
-                sdf_d = sdf_d.reshape(-1, 6)
-                out["grad"] = 0.5 * (sdf_d[:, 0::2] - sdf_d[:, 1::2]) / eps
+                                 levels=levels).reshape(p, n)
+                out["grad"] = self._fd_combine(sdf_d, eps)
             else:
                 raise ValueError(self.grad_type)
 
