@@ -10,6 +10,7 @@ downloading TensoIR data.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 
@@ -56,6 +57,38 @@ def env_radiance(d: np.ndarray) -> np.ndarray:
     return (sky + sun).astype(np.float32)
 
 
+def env_radiance_warm(d: np.ndarray) -> np.ndarray:
+    """Alternate analytic environment (warm sunset) for relighting GT."""
+    horizon = np.array([0.9, 0.5, 0.25]) * (1.0 - np.abs(d[..., 2:3])) ** 2
+    sky = np.array([0.25, 0.3, 0.5]) * (0.4 + 0.6 * d[..., 2:3])
+    sun_dir = np.array([-0.7, 0.2, 0.25])
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    sun = np.array([1.2, 0.7, 0.35]) * np.maximum(
+        (d @ sun_dir), 0.0)[..., None] ** 24 * 3.0
+    return (horizon + sky + sun).astype(np.float32)
+
+
+_ENVS = {"default": env_radiance, "warm": env_radiance_warm}
+
+
+def write_env_latlong_exr(path: str, env_fn, height: int = 128):
+    """Write an env function as a Blender-convention lat-long EXR so the
+    emitter's ``relight_params`` can load it."""
+    from ..utils.exr import write_exr
+
+    h, w = height, 2 * height
+    v = (np.arange(h) + 0.5) / h
+    u = (np.arange(w) + 0.5) / w
+    uu, vv = np.meshgrid(u, v)
+    # Blender lat-long convention (matches models/light.py HDR init)
+    theta = vv * math.pi
+    phi = -(uu * 2.0 - 1.0) * math.pi
+    d = np.stack([np.sin(theta) * np.cos(phi),
+                  np.sin(theta) * np.sin(phi),
+                  np.cos(theta)], -1)
+    write_exr(path, env_fn(d).astype(np.float32))
+
+
 def sphere_albedo(p: np.ndarray) -> np.ndarray:
     """Spatially-varying albedo on the sphere surface."""
     a = 0.5 + 0.5 * np.sin(6.0 * p[..., 0:1])
@@ -65,7 +98,8 @@ def sphere_albedo(p: np.ndarray) -> np.ndarray:
 
 
 def render_image(c2w: np.ndarray, directions: np.ndarray,
-                 roughness: float = 0.3, metallic: float = 0.5):
+                 roughness: float = 0.3, metallic: float = 0.5,
+                 env_fn=env_radiance):
     """Ray-trace the sphere scene -> (rgb [H,W,3], mask, albedo, rough, normal)."""
     h, w = directions.shape[:2]
     d = directions @ c2w[:3, :3].T
@@ -85,10 +119,10 @@ def render_image(c2w: np.ndarray, directions: np.ndarray,
     refl = 2 * np.sum(wo * n, -1, keepdims=True) * n - wo
     nov = np.clip(np.sum(n * wo, -1, keepdims=True), 0, 1)
     # crude split-sum-flavored shading: diffuse env + fresnel-weighted mirror
-    diff = (1 - metallic) * alb * env_radiance(n) * 0.7
+    diff = (1 - metallic) * alb * env_fn(n) * 0.7
     f0 = 0.04 * (1 - metallic) + metallic * alb
     fres = f0 + (1 - f0) * (1 - nov) ** 5
-    spec = fres * env_radiance(refl)
+    spec = fres * env_fn(refl)
     rgb_lin = diff + spec
     srgb = np.where(rgb_lin <= 0.0031308, rgb_lin * 12.92,
                     1.055 * np.maximum(rgb_lin, 0.0031308) ** (1 / 2.4) - 0.055)
@@ -133,7 +167,23 @@ class SyntheticSplit:
         self.all_albedo = np.stack(albs)
         self.all_roughness = np.stack(roughs)
         self.all_normals = np.stack(normals)
+        # relighting GT: re-render under alternate analytic envs and dump
+        # each env as a lat-long EXR under hdr_filepath so the emitter's
+        # relight path can load it (reference TensoIR relight protocol)
         self.relight_images = {}
+        relight_list = list(config.get("relight_list", []) or [])
+        if relight_list:
+            hdr_dir = config.get("hdr_filepath") or "/tmp/synthetic_envmaps"
+            os.makedirs(hdr_dir, exist_ok=True)
+            for light in relight_list:
+                env_fn = _ENVS[light]
+                exr_path = os.path.join(hdr_dir, f"{light}.exr")
+                if not os.path.exists(exr_path):
+                    write_env_latlong_exr(exr_path, env_fn)
+                rel = [render_image(self.all_c2w[i], self.directions,
+                                    env_fn=env_fn)[0]
+                       for i in range(n_images)]
+                self.relight_images[light] = np.stack(rel)
 
     def __len__(self):
         return len(self.all_images)

@@ -1,0 +1,56 @@
+"""Synthetic dataset relighting GT: env EXR dump + alternate-env renders
+feed the full relight metric path (system.test relight loop)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rise_sdf_tpu import datasets, systems
+from rise_sdf_tpu.datasets.synthetic import (
+    env_radiance_warm,
+    write_env_latlong_exr,
+)
+from rise_sdf_tpu.models.light import load_hdr_image
+from rise_sdf_tpu.presets import tiny_split_config
+
+
+def test_env_exr_roundtrip(tmp_path):
+    path = str(tmp_path / "warm.exr")
+    write_env_latlong_exr(path, env_radiance_warm, height=32)
+    img = load_hdr_image(path)
+    assert img.shape == (32, 64, 3)
+    assert np.isfinite(img).all() and img.max() > 0.3
+
+
+def test_dataset_generates_relight_gt(tmp_path):
+    cfg = tiny_split_config()
+    cfg["dataset"]["relight_list"] = ["warm"]
+    cfg["dataset"]["hdr_filepath"] = str(tmp_path)
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    split = dm.test()
+    assert "warm" in split.relight_images
+    rel = split.relight_images["warm"]
+    assert rel.shape == split.all_images.shape
+    # different light -> visibly different image on the foreground
+    fg = split.all_fg_masks[0] > 0.5
+    diff = np.abs(rel[0][fg] - split.all_images[0][fg]).mean()
+    assert diff > 0.02, diff
+    assert os.path.exists(tmp_path / "warm.exr")
+
+
+def test_relight_metric_loop_runs(tmp_path):
+    """End-to-end: system.test with a relight list computes per-light
+    metrics through the emitter relight_params path."""
+    cfg = tiny_split_config()
+    cfg["dataset"]["relight_list"] = ["warm"]
+    cfg["dataset"]["hdr_filepath"] = str(tmp_path / "envs")
+    cfg["dataset"]["n_images"] = 2
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm,
+                          save_dir=str(tmp_path / "save"))
+    state = system.init_state(0)
+    state["step"] = state["step"] + 20  # stage 1
+    res = system.test(state, export=False)
+    assert "relight_psnr_warm" in res and np.isfinite(res["relight_psnr_warm"])
+    assert "relight_ssim_warm" in res
