@@ -252,12 +252,32 @@ class NeuSSystem(BaseSystem):
         return train_step
 
     # ------------------------------------------------------------------ #
-    def make_render_chunk(self, capacity=None):
+    @staticmethod
+    def _shard_render(body, mesh):
+        """Wrap a per-device render body so the ray chunk is sharded over
+        the 1-D data mesh: params/grid replicated, rays and all ray-major
+        outputs split over devices (the eval analog of the DDP training
+        shard; the reference gathers per-rank images with all_gather)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def sharded(params, occ_binary, rays, step, *extra):
+            fn = shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P("data"), P()) + tuple(
+                    P() for _ in extra),
+                out_specs=P("data"), check_rep=False)
+            return fn(params, occ_binary, rays, step, *extra)
+
+        return jax.jit(sharded)
+
+    def make_render_chunk(self, capacity=None, mesh=None):
         model = self.model
         cap = capacity or self.eval_capacity
+        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        cap = max(cap // ndev, 16)
 
-        @jax.jit
-        def render_chunk(params, occ_binary, rays, step):
+        def body(params, occ_binary, rays, step):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, step=step, rng=None,
                 train=False, capacity=cap,
@@ -266,7 +286,9 @@ class NeuSSystem(BaseSystem):
                     "ray_included"]
             return {k: out[k] for k in keep if k in out}
 
-        return render_chunk
+        if mesh is None:
+            return jax.jit(body)
+        return self._shard_render(body, mesh)
 
     def render_image(self, state, split, index: int,
                      render_chunk=None) -> Dict[str, np.ndarray]:
@@ -380,7 +402,7 @@ class NeuSSystem(BaseSystem):
     # ------------------------------------------------------------------ #
     def validate(self, state, n_images: Optional[int] = None):
         split = self.datamodule.val()
-        render_chunk = self.make_render_chunk()
+        render_chunk = self.make_render_chunk(mesh=self.mesh)
         n = len(split) if n_images is None else min(n_images, len(split))
         psnrs = []
         for i in range(n):
@@ -408,7 +430,7 @@ class NeuSSystem(BaseSystem):
 
     def test(self, state):
         split = self.datamodule.test()
-        render_chunk = self.make_render_chunk()
+        render_chunk = self.make_render_chunk(mesh=self.mesh)
         psnrs = []
         step = int(state["step"])
         for i in range(len(split)):

@@ -92,13 +92,14 @@ class SplitOccSystem(NeuSSystem):
         return self.model.stage(step)
 
     def make_render_chunk(self, stage: int = 1, relighting: bool = False,
-                          capacity=None, secondary_frac=None):
+                          capacity=None, secondary_frac=None, mesh=None):
         model = self.model
         cap = capacity or self.eval_capacity
+        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        cap = max(cap // ndev, 16)
         self._chunk_args = (stage, relighting)
 
-        @jax.jit
-        def render_chunk(params, occ_binary, rays, step, mips):
+        def body(params, occ_binary, rays, step, mips):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, mips=mips, step=step,
                 rng=None, stage=stage, train=False, relighting=relighting,
@@ -113,6 +114,8 @@ class SplitOccSystem(NeuSSystem):
                          "comp_diffuse_rgb_phys"]
             return {k: out[k] for k in keep if k in out}
 
+        render_chunk = jax.jit(body) if mesh is None \
+            else self._shard_render(body, mesh)
         render_chunk._stage = stage
         render_chunk._relighting = relighting
         return render_chunk
@@ -175,7 +178,7 @@ class SplitOccSystem(NeuSSystem):
     def validate(self, state, n_images: Optional[int] = None):
         split = self.datamodule.val()
         stage = self.model.stage(int(state["step"]))
-        render_chunk = self.make_render_chunk(stage)
+        render_chunk = self.make_render_chunk(stage, mesh=self.mesh)
         self._save_envmap(state)
         n = len(split) if n_images is None else min(n_images, len(split))
         psnrs, phys_psnrs = [], []
@@ -248,8 +251,9 @@ class SplitOccSystem(NeuSSystem):
     def test(self, state, export: bool = True):
         split = self.datamodule.test()
         stage = self.model.stage(int(state["step"]))
-        render_chunk = self.make_render_chunk(stage)
-        relight_chunk = self.make_render_chunk(stage, relighting=True) \
+        render_chunk = self.make_render_chunk(stage, mesh=self.mesh)
+        relight_chunk = self.make_render_chunk(stage, relighting=True,
+                                               mesh=self.mesh) \
             if self.relight_list else None
         self._save_envmap(state)
         step = int(state["step"])

@@ -1,0 +1,47 @@
+"""Sharded eval render: mesh-rendered chunk == single-device chunk.
+
+Eval is deterministic (rng=None), so sharding the ray chunk over the
+8-CPU mesh must reproduce the single-device render exactly up to float
+reduction order (the eval analog of the reference's DDP all_gather)."""
+
+import jax
+import numpy as np
+import pytest
+
+from rise_sdf_tpu import datasets, systems
+from rise_sdf_tpu.parallel import get_mesh
+from rise_sdf_tpu.presets import tiny_split_config
+
+NDEV = 4
+
+
+@pytest.fixture(scope="module")
+def system(tmp_path_factory):
+    cfg = tiny_split_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    return systems.make(cfg.system.name, cfg, dm,
+                        save_dir=str(tmp_path_factory.mktemp("seval")))
+
+
+def test_sharded_render_matches_single(system):
+    assert len(jax.devices()) >= NDEV
+    state = system.init_state(0)
+    state["step"] = state["step"] + 20  # stage 1
+    split = system.datamodule.val()
+    single = system.make_render_chunk(1)
+    sharded = system.make_render_chunk(1, mesh=get_mesh(NDEV))
+    out_s = system.render_image(state, split, 0, single, stage=1)
+    out_m = system.render_image(state, split, 0, sharded, stage=1)
+    for k in ("comp_rgb_full", "comp_rgb_phys_full", "opacity", "depth"):
+        np.testing.assert_allclose(out_m[k], out_s[k], atol=2e-3,
+                                   err_msg=k)
+
+
+def test_validate_runs_with_mesh(system):
+    system.mesh = get_mesh(NDEV)
+    try:
+        state = system.init_state(1)
+        res = system.validate(state, n_images=1)
+        assert np.isfinite(res["psnr"])
+    finally:
+        system.mesh = None
