@@ -130,7 +130,9 @@ def render_image(c2w: np.ndarray, directions: np.ndarray,
     mask = hit.astype(np.float32)
     rgb = srgb * mask[..., None] + (1 - mask[..., None])  # white bg
     normal = np.where(hit[..., None], n, np.array([0.0, 0.0, 1.0]))
-    albedo = np.where(hit[..., None], alb, 1.0)
+    # black background: comparable to the accumulated (opacity-
+    # premultiplied) comp_albedo the eval produces, like TensoIR's EXR GT
+    albedo = np.where(hit[..., None], alb, 0.0)
     rough = np.full((h, w, 1), roughness, np.float32) * mask[..., None]
     return (rgb.astype(np.float32), mask, albedo.astype(np.float32),
             rough, normal.astype(np.float32))
