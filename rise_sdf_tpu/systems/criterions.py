@@ -65,6 +65,12 @@ def ssim(img0, img1, max_val: float = 1.0, filter_size: int = 11,
     sigma00 = blur(img0 ** 2) - mu0 ** 2
     sigma11 = blur(img1 ** 2) - mu1 ** 2
     sigma01 = blur(img0 * img1) - mu0 * mu1
+    # float error makes variances slightly negative on near-constant
+    # windows, which pushed SSIM above 1; clamp like jaxNeRF
+    sigma00 = jnp.maximum(sigma00, 0.0)
+    sigma11 = jnp.maximum(sigma11, 0.0)
+    sigma01 = jnp.sign(sigma01) * jnp.minimum(
+        jnp.sqrt(sigma00 * sigma11), jnp.abs(sigma01))
     c1 = (k1 * max_val) ** 2
     c2 = (k2 * max_val) ** 2
     numer = (2 * mu0 * mu1 + c1) * (2 * sigma01 + c2)

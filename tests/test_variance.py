@@ -59,3 +59,20 @@ def test_unmodulated_passthrough():
     np.testing.assert_allclose(float(var.inv_s(params, 50)),
                                float(np.exp(3.0)), rtol=1e-5)
     assert var.post_update(params, 50) is params
+
+
+def test_ssim_bounded_on_constant_background():
+    """SSIM must never exceed 1 (near-zero-variance windows previously
+    pushed it to ~1.03 via negative float-error variances)."""
+    import jax.numpy as jnp
+
+    from rise_sdf_tpu.systems.criterions import ssim
+
+    a = jnp.ones((64, 64, 3))
+    b = jnp.ones((64, 64, 3))
+    a = a.at[30:34, 30:34].set(0.5)
+    b = b.at[30:34, 30:34].set(0.48)
+    val = float(ssim(a, b))
+    assert val <= 1.0 + 1e-6, val
+    assert val > 0.9
+    assert float(ssim(a, a)) <= 1.0 + 1e-6
