@@ -98,8 +98,13 @@ def main():
         rc = rays[s:s + chunk]
         if rc.shape[0] < chunk:
             rc = jnp.pad(rc, ((0, chunk - rc.shape[0]), (0, 0)))
-        outs.append(render_chunk(params, rc, mips))
-    outs[-1].block_until_ready()
+        out = render_chunk(params, rc, mips)
+        # block per chunk: consuming each result is what a real render
+        # loop does, and under the axon runtime blocking only the final
+        # output does NOT imply the queued dispatches executed (observed
+        # 157 chunks "finishing" in 0.8s while each takes 447ms blocked)
+        out.block_until_ready()
+        outs.append(out)
     dt = time.time() - t0
     rays_per_sec = n / dt
     log(f"rendered {n} rays in {dt:.2f}s -> {rays_per_sec:.0f} rays/s")
