@@ -5,10 +5,24 @@ the flagship split-mixed-occ model, stage 1: split-sum shading +
 secondary occlusion rays) on whatever accelerator JAX exposes.  Uses
 production-scale hyperparameters (512^2 env light, 16-level 2^19 hash
 grid, 128^3 occupancy grid, 1024-sample marching) with an untrained
-model and a plausible occupancy pattern (thin shell), so no dataset is
-required.
+model, no dataset required.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Three protocols, all full 800^2 images with every chunk blocked:
+
+  headline  converged-like scene: SOLID occupancy (interior cells stay
+            occupied — the proven round-2 overflow regime), sharp
+            surface (inv_s ~ 800), transmittance-prefiltered marching at
+            the config's 64-samples/ray budget.  This is what eval
+            actually looks like at the end of training.
+  shell     legacy round-1/2 protocol (thin-shell occupancy, soft
+            inv_s ~ 20, no prefilter) for cross-round continuity.
+  nopf192   the round-2 workaround on the converged scene: no
+            prefilter, 192 samples/ray — what the headline replaces.
+
+Also reports the roofline position (achieved TFLOP/s + HBM GB/s from
+XLA cost_analysis over measured wall time vs chip peaks).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -33,6 +47,96 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def make_occupancy(model, kind):
+    """'shell' = thin band at r=0.5; 'solid' = filled ball (converged
+    grids keep solid interiors occupied — the occ_eval alpha is ~1
+    inside an object)."""
+    import jax.numpy as jnp
+
+    res = model.grid_resolution
+    g = (np.arange(res) + 0.5) / res * 2 * model.radius - model.radius
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    r = np.sqrt(x * x + y * y + z * z)
+    cell = 2 * model.radius / res
+    if kind == "shell":
+        binary = np.abs(r - 0.5) < (2.0 * cell)
+    else:
+        binary = r < (0.5 + 2.0 * cell)
+    log(f"occupancy[{kind}]: {binary.mean() * 100:.2f}% cells")
+    return jnp.asarray(binary.reshape(-1))
+
+
+def image_rays(w=800, h=800):
+    import jax.numpy as jnp
+
+    from rise_sdf_tpu.datasets.synthetic import look_at
+    from rise_sdf_tpu.utils.rays import get_ray_directions, get_rays
+
+    focal = 0.5 * w / np.tan(0.5 * 0.35)
+    dirs = get_ray_directions(w, h, focal, focal, w // 2, h // 2)
+    c2w = look_at(np.array([0.0, -4.0, 0.0]))
+    rays_o, rays_d = get_rays(jnp.asarray(dirs), jnp.asarray(c2w))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    return jnp.concatenate([rays_o, rays_d], -1)
+
+
+def run_protocol(model, params, occ_binary, rays, *, step, capacity,
+                 prefilter, chunk, label):
+    import jax
+    import jax.numpy as jnp
+
+    from rise_sdf_tpu.utils import roofline
+
+    build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
+
+    def body(params, rays_chunk, mips):
+        out = model.forward(
+            params, rays_chunk, occ_binary=occ_binary, mips=mips, step=step,
+            rng=None, stage=1, train=False, capacity=capacity,
+            background_color=jnp.ones((3,)), prefilter=prefilter)
+        return out["comp_rgb_full"], out["ray_included"]
+
+    t0 = time.time()
+    mips = build_mips(params)
+    lowered = jax.jit(body).lower(params, rays[:chunk], mips)
+    compiled = lowered.compile()
+    img0, _ = compiled(params, rays[:chunk], mips)
+    img0.block_until_ready()
+    log(f"[{label}] compile+first chunk: {time.time() - t0:.1f}s")
+    costs = roofline.module_costs(compiled)
+
+    n = rays.shape[0]
+    n_chunks = 0
+    dropped = 0
+    t0 = time.time()
+    mips = build_mips(params)  # once per image, like a real eval
+    for s in range(0, n, chunk):
+        rc = rays[s:s + chunk]
+        if rc.shape[0] < chunk:
+            rc = jnp.pad(rc, ((0, chunk - rc.shape[0]), (0, 0)))
+        out, inc = compiled(params, rc, mips)
+        # block per chunk: consuming each result is what a real render
+        # loop does, and under the axon runtime blocking only the final
+        # output does NOT imply the queued dispatches executed
+        out.block_until_ready()
+        dropped += int((~np.asarray(inc)).sum())
+        n_chunks += 1
+    dt = time.time() - t0
+    rays_per_sec = n / dt
+    res = {"rays_per_sec": rays_per_sec, "dropped_rays": dropped, "dt": dt}
+    if costs is not None:
+        res.update(roofline.summarize(costs, n_chunks, dt,
+                                      device=jax.devices()[0]))
+    log(f"[{label}] {n} rays in {dt:.2f}s -> {rays_per_sec:.0f} rays/s; "
+        f"dropped={dropped}"
+        + (f"; {res['achieved_tflops']:.2f} TFLOP/s "
+           f"(mfu {res['est_mfu'] * 100:.1f}%), "
+           f"{res['achieved_hbm_gbs']:.0f} GB/s HBM "
+           f"({res['est_membw_frac'] * 100:.1f}%)"
+           if costs is not None else " (no cost model on this backend)"))
+    return res
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -46,75 +150,45 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     log("model initialized; devices:", jax.devices())
 
-    # plausible occupancy: shell around a sphere of radius 0.5 (~ a few %
-    # of cells), mirroring a converged grid on a TensoIR object
-    res = model.grid_resolution
-    g = (np.arange(res) + 0.5) / res * 2 * model.radius - model.radius
-    x, y, z = np.meshgrid(g, g, g, indexing="ij")
-    r = np.sqrt(x * x + y * y + z * z)
-    cell = 2 * model.radius / res
-    binary = np.abs(r - 0.5) < (2.0 * cell)
-    occ_binary = jnp.asarray(binary.reshape(-1))
-    log(f"occupancy: {binary.mean() * 100:.2f}% cells")
+    # converged-like variance: the production run ends at inv_s ~ 816
+    # (BASELINE.md); exp(10 * 0.67) ~ 812
+    params_sharp = dict(params)
+    params_sharp["variance"] = {**params["variance"],
+                                "variance": jnp.asarray(0.67, jnp.float32)}
 
-    # camera rays for an 800^2 view
-    w = h = 800
+    rays = image_rays()
     chunk = int(cfg.model.ray_chunk)
-    eval_capacity = chunk * int(cfg.model.get("eval_samples_per_ray", 128))
-    from rise_sdf_tpu.utils.rays import get_ray_directions, get_rays
-    from rise_sdf_tpu.datasets.synthetic import look_at
-
-    focal = 0.5 * w / np.tan(0.5 * 0.35)
-    dirs = get_ray_directions(w, h, focal, focal, w // 2, h // 2)
-    c2w = look_at(np.array([0.0, -4.0, 0.0]))
-    rays_o, rays_d = get_rays(jnp.asarray(dirs), jnp.asarray(c2w))
-    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
-    rays = jnp.concatenate([rays_o, rays_d], -1)
-
+    spr = int(cfg.model.get("eval_samples_per_ray", 64))
     step = jnp.asarray(cfg.model.split_sum_kick_in_step + 1, jnp.int32)
 
-    build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
+    solid = make_occupancy(model, "solid")
+    shell = make_occupancy(model, "shell")
 
-    @jax.jit
-    def render_chunk(params, rays_chunk, mips):
-        out = model.forward(
-            params, rays_chunk, occ_binary=occ_binary, mips=mips, step=step,
-            rng=None, stage=1, train=False, capacity=eval_capacity,
-            background_color=jnp.ones((3,)))
-        return out["comp_rgb_full"]
+    headline = run_protocol(
+        model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
+        prefilter=True, chunk=chunk, label="headline solid+prefilter")
+    legacy = run_protocol(
+        model, params, shell, rays, step=step, capacity=chunk * spr,
+        prefilter=False, chunk=chunk, label="legacy shell")
+    nopf = run_protocol(
+        model, params_sharp, solid, rays, step=step, capacity=chunk * 192,
+        prefilter=False, chunk=chunk, label="nopf192 (r2 workaround)")
 
-    # warmup / compile
-    t0 = time.time()
-    mips = build_mips(params)
-    img0 = render_chunk(params, rays[:chunk], mips)
-    img0.block_until_ready()
-    log(f"compile+first chunk: {time.time() - t0:.1f}s")
-
-    n = rays.shape[0]
-    t0 = time.time()
-    mips = build_mips(params)  # once per image (differentiable per step in training)
-    outs = []
-    for s in range(0, n, chunk):
-        rc = rays[s:s + chunk]
-        if rc.shape[0] < chunk:
-            rc = jnp.pad(rc, ((0, chunk - rc.shape[0]), (0, 0)))
-        out = render_chunk(params, rc, mips)
-        # block per chunk: consuming each result is what a real render
-        # loop does, and under the axon runtime blocking only the final
-        # output does NOT imply the queued dispatches executed (observed
-        # 157 chunks "finishing" in 0.8s while each takes 447ms blocked)
-        out.block_until_ready()
-        outs.append(out)
-    dt = time.time() - t0
-    rays_per_sec = n / dt
-    log(f"rendered {n} rays in {dt:.2f}s -> {rays_per_sec:.0f} rays/s")
-
-    print(json.dumps({
-        "metric": "rays/sec/chip at 800^2 split-sum PBR render",
-        "value": round(rays_per_sec, 1),
+    out = {
+        "metric": "rays/sec/chip at 800^2 split-sum PBR render "
+                  "(converged solid occupancy, prefiltered marching)",
+        "value": round(headline["rays_per_sec"], 1),
         "unit": "rays/s",
         "vs_baseline": None,
-    }))
+        "dropped_rays": headline["dropped_rays"],
+        "legacy_shell_rays_per_sec": round(legacy["rays_per_sec"], 1),
+        "no_prefilter_192spr_rays_per_sec": round(nopf["rays_per_sec"], 1),
+    }
+    for k in ("achieved_tflops", "achieved_hbm_gbs", "est_mfu",
+              "est_membw_frac"):
+        if k in headline:
+            out[k] = round(headline[k], 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

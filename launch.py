@@ -26,7 +26,19 @@ import os
 import sys
 
 
+def _apply_platform_env():
+    """Make JAX_PLATFORMS authoritative: the experimental axon TPU
+    plugin can claim the backend even when the env asks for cpu, so
+    mirror the env var onto the live jax config before any tracing."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main():
+    _apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True, help="path to config file")
     parser.add_argument("--gpu", default="0",

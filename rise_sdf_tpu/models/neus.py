@@ -151,23 +151,57 @@ class NeuSModel:
             if hasattr(self.geometry, "open_levels") else None
 
     # ------------------------------------------------------------------ #
+    def prefilter_on(self, step: int, train: bool = True) -> bool:
+        """The reference NeuS model marches without an ``alpha_fn``
+        prefilter (``models/neus.py:232``) — off unless configured."""
+        if not bool(self.config.get("visibility_prefilter", False)):
+            return False
+        return (step >= int(self.config.get("prefilter_start_step", 0))) \
+            if train else True
+
+    def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
+                       levels=None, cos_anneal_ratio=1.0):
+        stride = int(self.config.get("prefilter_stride", 4))
+        per_ray = int(self.config.get("prefilter_coarse_per_ray", 64))
+        cap = rays_o.shape[0] * min(
+            per_ray, max(self.num_samples_per_ray // stride, 1))
+        return march.compute_visibility_cut(
+            rays_o, rays_d,
+            sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,
+                                               levels=levels),
+            inv_s=self.variance.inv_s(params["variance"], step),
+            aabb_min=self.aabb_min, aabb_max=self.aabb_max,
+            step_size=self.render_step_size,
+            num_samples=self.num_samples_per_ray, capacity=cap,
+            grid_binary=occ_binary, grid_resolution=self.grid_resolution,
+            stride=stride, cos_anneal_ratio=cos_anneal_ratio,
+            early_stop_eps=volrend.EARLY_STOP_EPS,
+            margin_intervals=float(
+                self.config.get("prefilter_margin_intervals", 1.0)))
+
     def forward(self, params, rays, *, occ_binary, step, rng=None,
                 train: bool = False, capacity: int, background_color,
-                levels=None):
+                levels=None, prefilter: bool = False):
         """rays [R,6] -> per-ray render dict. ``train``/``capacity``/
-        ``levels`` static."""
+        ``levels``/``prefilter`` static."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = None
         if rng is not None and self.randomized and train:
             rng, march_rng = jax.random.split(rng)
 
+        t_cut = None
+        if prefilter and occ_binary is not None:
+            t_cut = self.visibility_cut(
+                params, rays_o, rays_d, occ_binary, step, levels=levels,
+                cos_anneal_ratio=self.cos_anneal_ratio(step))
+
         rs = march.march_rays(
             rays_o, rays_d, aabb_min=self.aabb_min, aabb_max=self.aabb_max,
             step_size=self.render_step_size,
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
-            rng=march_rng,
+            rng=march_rng, t_cut=t_cut,
         )
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)
         dists = rs.t_ends - rs.t_starts

@@ -52,6 +52,18 @@ class SplitMixedOccModel:
         self.eval_visibility_frac = float(
             config.get("eval_visibility_frac", 1.0))
         self.grid_resolution = int(config.get("grid_resolution", 128))
+        # transmittance-aware marching (reference alpha_fn prefilter +
+        # early termination): coarse SDF probe -> per-ray t_cut
+        self.visibility_prefilter = bool(
+            config.get("visibility_prefilter", False))
+        self.prefilter_stride = int(config.get("prefilter_stride", 4))
+        self.prefilter_coarse_per_ray = int(
+            config.get("prefilter_coarse_per_ray", 64))
+        self.prefilter_margin_intervals = float(
+            config.get("prefilter_margin_intervals", 1.0))
+        self.prefilter_start_step = int(
+            config.get("prefilter_start_step",
+                       config.get("split_sum_kick_in_step", 0)))
         self.cos_anneal_end = int(config.get("cos_anneal_end", 0))
         self.randomized = bool(config.get("randomized", True))
         self.split_sum_kick_in_step = int(config.get("split_sum_kick_in_step", 0))
@@ -179,14 +191,45 @@ class SplitMixedOccModel:
             jax.lax.stop_gradient(depth), included
 
     # ------------------------------------------------------------------ #
+    def prefilter_on(self, step: int, train: bool = True) -> bool:
+        """Python-level (static) flag: is the visibility prefilter active?
+        During training it kicks in once the surface is sharp enough to
+        saturate transmittance (default: the split-sum kick-in step);
+        at eval it is simply on when configured."""
+        if not self.visibility_prefilter:
+            return False
+        return (step >= self.prefilter_start_step) if train else True
+
+    def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
+                       levels=None, cos_anneal_ratio=1.0):
+        """Per-ray transmittance cut from the coarse SDF probe."""
+        n_rays = rays_o.shape[0]
+        cap = n_rays * min(self.prefilter_coarse_per_ray,
+                           max(self.num_samples_per_ray
+                               // self.prefilter_stride, 1))
+        return march.compute_visibility_cut(
+            rays_o, rays_d,
+            sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,
+                                               levels=levels),
+            inv_s=self.variance.inv_s(params["variance"], step),
+            aabb_min=self.aabb_min, aabb_max=self.aabb_max,
+            step_size=self.render_step_size,
+            num_samples=self.num_samples_per_ray, capacity=cap,
+            grid_binary=occ_binary, grid_resolution=self.grid_resolution,
+            stride=self.prefilter_stride,
+            cos_anneal_ratio=cos_anneal_ratio,
+            early_stop_eps=volrend.EARLY_STOP_EPS,
+            margin_intervals=self.prefilter_margin_intervals)
+
     def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
                 stage: int = 0, train: bool = False, relighting: bool = False,
                 capacity: int, background_color, levels=None,
-                secondary_frac=None):
+                secondary_frac=None, prefilter: bool = False):
         """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
-        levels/secondary_frac static (``levels`` = open hash levels;
-        None = all; ``secondary_frac`` overrides the secondary-sample
-        compaction budget, e.g. for the eval overflow fallback)."""
+        levels/secondary_frac/prefilter static (``levels`` = open hash
+        levels; None = all; ``secondary_frac`` overrides the
+        secondary-sample compaction budget, e.g. for the eval overflow
+        fallback; ``prefilter`` enables transmittance-aware marching)."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = laplace_rng = None
@@ -196,12 +239,18 @@ class SplitMixedOccModel:
             if self.randomized and train:
                 march_rng = k1
 
+        t_cut = None
+        if prefilter and occ_binary is not None:
+            t_cut = self.visibility_cut(
+                params, rays_o, rays_d, occ_binary, step, levels=levels,
+                cos_anneal_ratio=self.cos_anneal_ratio(step))
+
         rs = march.march_rays(
             rays_o, rays_d, aabb_min=self.aabb_min, aabb_max=self.aabb_max,
             step_size=self.render_step_size,
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
-            rng=march_rng)
+            rng=march_rng, t_cut=t_cut)
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)
         dists = rs.t_ends - rs.t_starts
         ridx = jnp.clip(rs.ray_indices, 0, n_rays - 1)

@@ -107,16 +107,28 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
                capacity, grid_binary=None, grid_resolution=128,
                rng: Optional[jax.Array] = None,
                near_plane: Optional[float] = None,
-               far_plane: Optional[float] = None) -> RaySamples:
-    """Occupancy-pruned marching, compacted to a fixed-size buffer."""
+               far_plane: Optional[float] = None,
+               t_cut: Optional[jnp.ndarray] = None) -> RaySamples:
+    """Occupancy-pruned marching, compacted to a fixed-size buffer.
+
+    ``t_cut`` ([R], optional) is a per-ray visibility cut distance
+    (from :func:`compute_visibility_cut`): candidates at ``t_mid >=
+    t_cut`` are occluded (transmittance below the early-stop eps) and
+    dropped before compaction — the TPU analog of nerfacc's ``alpha_fn``
+    prefilter + early termination during marching (reference
+    ``models/split_mixed_occ.py:264-272``,
+    ``lib/nerfacc/vol_rendering.py:453-520``).
+    """
     n_rays = rays_o.shape[0]
     t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
     t_starts, t_ends, live = candidate_intervals(
         rays_o, rays_d, t_near, t_far, step_size, num_samples, rng,
         near_plane, far_plane,
     )
+    t_mid = 0.5 * (t_starts + t_ends)
+    if t_cut is not None:
+        live = live & (t_mid < t_cut[:, None])
     if grid_binary is not None:
-        t_mid = 0.5 * (t_starts + t_ends)
         pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
         occ = occupancy_lookup(grid_binary, pos, aabb_min, aabb_max,
                                grid_resolution)
@@ -153,6 +165,71 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
         ray_start=jnp.minimum(ray_start, capacity).astype(jnp.int32),
         ray_count=ray_count, ray_included=ray_included, num_live=num_live,
     )
+
+
+def compute_visibility_cut(rays_o, rays_d, *, sdf_fn, inv_s, aabb_min,
+                           aabb_max, step_size, num_samples, capacity,
+                           grid_binary=None, grid_resolution=128,
+                           stride: int = 4, cos_anneal_ratio=1.0,
+                           early_stop_eps: float = 1e-4,
+                           margin_intervals: float = 1.0):
+    """Per-ray transmittance cut distance from a cheap coarse SDF probe.
+
+    TPU-native equivalent of the reference marcher's ``alpha_fn``
+    visibility prefilter with transmittance early termination
+    (``models/split_mixed_occ.py:228-240`` + nerfacc ``render_visibility``
+    with ``early_stop_eps=1e-4``, ``lib/nerfacc/vol_rendering.py:453-520``):
+    instead of evaluating alpha for every candidate sample sequentially,
+    march a *coarse* grid (``stride`` fine steps per probe), evaluate the
+    SDF forward-only, estimate the ray-direction cosine from consecutive
+    probe SDF differences (the directional derivative; |grad| ~ 1 by the
+    eikonal property) and compute NeuS section-CDF alphas, whose
+    transmittance telescopes to the fine-grid transmittance wherever the
+    SDF is linear across a coarse interval.  The returned cut is
+    conservative: one coarse interval of safety margin is added, and any
+    ray whose probes overflow ``capacity`` (or that never saturates)
+    gets +inf, i.e. no cut.
+
+    Returns ``t_cut`` [R] for :func:`march_rays`'s ``t_cut`` argument.
+    """
+    from . import volrend
+    from ..models.neus import neus_alpha
+
+    n_rays = rays_o.shape[0]
+    coarse_step = step_size * stride
+    n_coarse = max(num_samples // stride, 1)
+    rs = march_rays(
+        rays_o, rays_d, aabb_min=aabb_min, aabb_max=aabb_max,
+        step_size=coarse_step, num_samples=n_coarse, capacity=capacity,
+        grid_binary=grid_binary, grid_resolution=grid_resolution, rng=None)
+    t_mid = 0.5 * (rs.t_starts + rs.t_ends)
+    ridx = jnp.clip(rs.ray_indices, 0, n_rays - 1)
+    pos = rays_o[ridx] + rays_d[ridx] * t_mid[:, None]
+    sdf = jax.lax.stop_gradient(sdf_fn(pos))
+
+    # ray-direction cosine from neighbouring probes of the same ray
+    # (one-sided at ray boundaries; lone probes fall back to head-on
+    # cos=-1, the conservative-opaque estimate)
+    c = capacity
+    pos_idx = jnp.arange(c)
+    same_p = (jnp.roll(rs.ray_indices, 1) == rs.ray_indices) \
+        & jnp.roll(rs.valid, 1) & (pos_idx > 0)
+    same_n = (jnp.roll(rs.ray_indices, -1) == rs.ray_indices) \
+        & jnp.roll(rs.valid, -1) & (pos_idx < c - 1)
+    s_lo = jnp.where(same_p, jnp.roll(sdf, 1), sdf)
+    t_lo = jnp.where(same_p, jnp.roll(t_mid, 1), t_mid)
+    s_hi = jnp.where(same_n, jnp.roll(sdf, -1), sdf)
+    t_hi = jnp.where(same_n, jnp.roll(t_mid, -1), t_mid)
+    denom = t_hi - t_lo
+    cos = jnp.where(denom > 1e-8, (s_hi - s_lo) / jnp.maximum(denom, 1e-8),
+                    -1.0)
+    cos = jnp.clip(cos, -1.0, 1.0)
+
+    alpha = neus_alpha(sdf, inv_s, cos, rs.t_ends - rs.t_starts,
+                       cos_anneal_ratio)
+    return volrend.transmittance_cut(
+        alpha, rs.t_starts, rs.ray_start, rs.ray_indices, rs.valid, n_rays,
+        early_stop_eps=early_stop_eps, margin=margin_intervals * coarse_step)
 
 
 def march_rays_dense(rays_o, rays_d, *, near_plane, far_plane, num_samples,

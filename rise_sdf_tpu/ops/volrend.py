@@ -48,6 +48,48 @@ def render_weight_from_alpha(alphas, ray_start, ray_indices, valid,
     return jnp.where(valid, weights, 0.0), jnp.where(valid, trans, 0.0)
 
 
+def render_visibility(alphas, ray_start, ray_indices, valid, n_rays: int,
+                      early_stop_eps: float = EARLY_STOP_EPS,
+                      alpha_thre: float = 0.0):
+    """Visible-sample mask on a compacted buffer.
+
+    Mirror of nerfacc's ``render_visibility`` (reference
+    ``lib/nerfacc/vol_rendering.py:453-520``): a sample is visible when
+    the transmittance *before* it is >= ``early_stop_eps`` (samples
+    behind an opaque surface are occluded) and, when ``alpha_thre > 0``,
+    its own alpha is >= ``alpha_thre`` (transparent samples).
+    """
+    _, trans = render_weight_from_alpha(alphas, ray_start, ray_indices,
+                                        valid, n_rays)
+    vis = valid & (trans >= early_stop_eps)
+    if alpha_thre > 0:
+        vis = vis & (alphas >= alpha_thre)
+    return vis
+
+
+def transmittance_cut(alphas, t_starts, ray_start, ray_indices, valid,
+                      n_rays: int, early_stop_eps: float = EARLY_STOP_EPS,
+                      margin: float = 0.0):
+    """Per-ray visibility cut distance from a (coarse) probe buffer.
+
+    Transmittance is monotone non-increasing along a ray, so the visible
+    set of ``render_visibility`` is a per-ray *prefix* in t.  This
+    returns that prefix boundary: the ``t_start`` of the first sample
+    whose pre-sample transmittance drops below ``early_stop_eps``
+    (+ ``margin``, a safety distance for coarse probes), or +inf when
+    the ray never saturates.  Rays with no samples in the buffer
+    (e.g. compaction overflow tails) get +inf — a conservative no-cut.
+    """
+    _, trans = render_weight_from_alpha(alphas, ray_start, ray_indices,
+                                        valid, n_rays)
+    inf = jnp.asarray(1e10, t_starts.dtype)
+    crossed_t = jnp.where(valid & (trans < early_stop_eps), t_starts, inf)
+    idx = jnp.minimum(ray_indices, n_rays)
+    cut = jax.ops.segment_min(crossed_t, idx, num_segments=n_rays + 1,
+                              indices_are_sorted=True)[:n_rays]
+    return jnp.minimum(cut + margin, inf)
+
+
 def accumulate_along_rays(weights, ray_indices, values: Optional[jnp.ndarray],
                           n_rays: int):
     """Σ_i w_i * v_i per ray. values: [C, D] or None (opacity)."""

@@ -151,14 +151,14 @@ class NeuSSystem(BaseSystem):
 
     # ------------------------------------------------------------------ #
     def forward_loss(self, params, batch, occ_binary, step, rng, stage,
-                     capacity, levels=None):
+                     capacity, levels=None, prefilter=False):
         """Model forward + loss assembly; the one train-step body shared by
         the single-device and sharded paths.  ``stage`` is ignored here
         (geometry-only); the split system overrides this."""
         out = self.model.forward(
             params, batch["rays"], occ_binary=occ_binary, step=step, rng=rng,
             train=True, capacity=capacity, background_color=batch["bg"],
-            levels=levels)
+            levels=levels, prefilter=prefilter)
         loss, losses = self.compute_losses(out, batch, step)
         aux = dict(losses)
         aux["inv_s"] = out["inv_s"]
@@ -170,7 +170,14 @@ class NeuSSystem(BaseSystem):
         """Static stage flag for step (None = unstaged); split overrides."""
         return None
 
-    def make_train_step(self, stage=None, mesh=None, levels=None):
+    def train_prefilter(self, step: int) -> bool:
+        """Static visibility-prefilter flag for step (one recompile when
+        it kicks in, like the stage flip)."""
+        return self.model.prefilter_on(step, train=True) \
+            if hasattr(self.model, "prefilter_on") else False
+
+    def make_train_step(self, stage=None, mesh=None, levels=None,
+                        prefilter=False):
         """One jitted train step.
 
         With ``mesh`` (a 1-D ``data`` mesh), the ray batch is sharded over
@@ -195,7 +202,8 @@ class NeuSSystem(BaseSystem):
 
             def loss_fn(p):
                 return self.forward_loss(p, batch, occ_binary, step, k_model,
-                                         stage, capacity, levels=levels)
+                                         stage, capacity, levels=levels,
+                                         prefilter=prefilter)
 
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
@@ -226,7 +234,7 @@ class NeuSSystem(BaseSystem):
 
             return train_step
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def per_device(params, opt_state, occ_binary, step, rngs, data):
@@ -236,7 +244,7 @@ class NeuSSystem(BaseSystem):
         sharded = shard_map(
             per_device, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P("data"), P()),
-            out_specs=(P(), P(), P()), check_rep=False)
+            out_specs=(P(), P(), P()), check_vma=False)
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, rngs, data):
@@ -258,7 +266,7 @@ class NeuSSystem(BaseSystem):
         the 1-D data mesh: params/grid replicated, rays and all ray-major
         outputs split over devices (the eval analog of the DDP training
         shard; the reference gathers per-rank images with all_gather)."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def sharded(params, occ_binary, rays, step, *extra):
@@ -266,7 +274,7 @@ class NeuSSystem(BaseSystem):
                 body, mesh=mesh,
                 in_specs=(P(), P(), P("data"), P()) + tuple(
                     P() for _ in extra),
-                out_specs=P("data"), check_rep=False)
+                out_specs=P("data"), check_vma=False)
             return fn(params, occ_binary, rays, step, *extra)
 
         return jax.jit(sharded)
@@ -276,12 +284,14 @@ class NeuSSystem(BaseSystem):
         cap = capacity or self.eval_capacity
         ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         cap = max(cap // ndev, 16)
+        pf = model.prefilter_on(0, train=False) \
+            if hasattr(model, "prefilter_on") else False
 
         def body(params, occ_binary, rays, step):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, step=step, rng=None,
                 train=False, capacity=cap,
-                background_color=jnp.ones((3,)))
+                background_color=jnp.ones((3,)), prefilter=pf)
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "ray_included"]
             return {k: out[k] for k in keep if k in out}
@@ -368,10 +378,12 @@ class NeuSSystem(BaseSystem):
             stage = self.train_stage(step)
             levels = self.model.open_levels(step) \
                 if hasattr(self.model, "open_levels") else None
-            key = (stage, levels)
+            pf = self.train_prefilter(step)
+            key = (stage, levels, pf)
             if key not in step_fns:
                 step_fns[key] = self.make_train_step(stage, mesh=mesh,
-                                                     levels=levels)
+                                                     levels=levels,
+                                                     prefilter=pf)
             rng, k = jax.random.split(rng)
             if mesh is not None:
                 k = jax.random.split(k, ndev)

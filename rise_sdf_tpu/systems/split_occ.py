@@ -72,7 +72,7 @@ class SplitOccSystem(NeuSSystem):
 
     # ------------------------------------------------------------------ #
     def forward_loss(self, params, batch, occ_binary, step, rng, stage,
-                     capacity, levels=None):
+                     capacity, levels=None, prefilter=False):
         stage = 0 if stage is None else stage
         model = self.model
         mips = model.emitter.build_mips(params["emitter"]) \
@@ -80,7 +80,7 @@ class SplitOccSystem(NeuSSystem):
         out = model.forward(
             params, batch["rays"], occ_binary=occ_binary, mips=mips,
             step=step, rng=rng, stage=stage, train=True, capacity=capacity,
-            background_color=batch["bg"], levels=levels)
+            background_color=batch["bg"], levels=levels, prefilter=prefilter)
         loss, losses = self.compute_losses(out, batch, step, stage)
         aux = dict(losses)
         aux["inv_s"] = out["inv_s"]
@@ -98,13 +98,15 @@ class SplitOccSystem(NeuSSystem):
         ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         cap = max(cap // ndev, 16)
         self._chunk_args = (stage, relighting)
+        pf = model.prefilter_on(0, train=False) \
+            if hasattr(model, "prefilter_on") else False
 
         def body(params, occ_binary, rays, step, mips):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, mips=mips, step=step,
                 rng=None, stage=stage, train=False, relighting=relighting,
                 capacity=cap, secondary_frac=secondary_frac,
-                background_color=jnp.ones((3,)))
+                background_color=jnp.ones((3,)), prefilter=pf)
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
                     "ray_included"]

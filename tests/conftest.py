@@ -22,6 +22,9 @@ def pytest_configure(config):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    config.addinivalue_line(
+        "markers",
+        "slow: long end-to-end tests; fast gate = pytest -m 'not slow'")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -5,6 +5,9 @@ import subprocess
 import sys
 
 import yaml
+import pytest
+
+pytestmark = pytest.mark.slow  # e2e: excluded from the fast gate (-m 'not slow')
 
 
 TINY_YAML = {

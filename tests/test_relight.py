@@ -8,6 +8,8 @@ import pytest
 from rise_sdf_tpu.models.light import EnvLightMipCube, load_hdr_image
 from rise_sdf_tpu.utils.exr import write_exr
 
+pytestmark = pytest.mark.slow  # e2e: excluded from the fast gate (-m 'not slow')
+
 
 def _write_hdr(path, img):
     import cv2

@@ -12,6 +12,8 @@ from rise_sdf_tpu import datasets, systems
 from rise_sdf_tpu.parallel import get_mesh
 from rise_sdf_tpu.presets import tiny_split_config
 
+pytestmark = pytest.mark.slow  # multi-device e2e: excluded from the fast gate
+
 NDEV = 4
 
 

@@ -16,6 +16,8 @@ from rise_sdf_tpu.parallel import get_mesh, make_sharded_train_step
 from rise_sdf_tpu.parallel.sharding import per_device_rngs
 from rise_sdf_tpu.presets import tiny_neus_config, tiny_split_config
 
+pytestmark = pytest.mark.slow  # multi-device e2e: excluded from the fast gate
+
 NDEV = 4
 
 

@@ -14,6 +14,8 @@ from rise_sdf_tpu.datasets.synthetic import (
 from rise_sdf_tpu.models.light import load_hdr_image
 from rise_sdf_tpu.presets import tiny_split_config
 
+pytestmark = pytest.mark.slow  # e2e: excluded from the fast gate (-m 'not slow')
+
 
 def test_env_exr_roundtrip(tmp_path):
     path = str(tmp_path / "warm.exr")

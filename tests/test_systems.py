@@ -12,6 +12,8 @@ from rise_sdf_tpu.config import ConfigNode
 
 from rise_sdf_tpu.presets import tiny_neus_config as neus_config, tiny_split_config as split_config, tiny_mlp, geometry_cfg
 
+pytestmark = pytest.mark.slow  # e2e: excluded from the fast gate (-m 'not slow')
+
 @pytest.fixture(scope="module")
 def tmp_save(tmp_path_factory):
     return str(tmp_path_factory.mktemp("save"))
