@@ -122,9 +122,9 @@ def _choose_work_res(target_res: int, theta_c: float,
     """Largest power-of-two resolution where the cone spans <= ~8 texels.
 
     Cone radius in texels at resolution M is ~ theta_c / ((pi/2)/M), so we
-    require M <= max_radius * pi / (2 * theta_c), capped at MAX_WORK_RES
-    (narrower kernels get a small stencil-radius floor instead — see
-    build_specular_level_filter).
+    require M <= max_radius * pi / (2 * theta_c), capped at MAX_WORK_RES.
+    At the MAX_WORK_RES cap the sharpest ladder level (roughness 0.08,
+    theta_c ~ 0.022) still spans ~1.8 texels -> ~10-texel support.
     """
     if theta_c <= 1e-6:
         return min(target_res, MAX_WORK_RES)
@@ -159,11 +159,14 @@ def build_specular_level_filter(target_res: int,
     costheta_c = ggx_cutoff_costheta(roughness, cutoff)
     theta_c = math.acos(min(max(costheta_c, -1.0), 1.0))
     work_res = _choose_work_res(target_res, theta_c)
-    # stencil floor: at least ~2.5 texels so capped-resolution levels
-    # still average over a neighborhood (NDF weights keep the center
-    # dominant, so wider masks only help accuracy)
-    theta_floor = 2.5 * (math.pi / 2.0) / work_res
-    costheta_c = min(costheta_c, math.cos(min(theta_floor, math.pi / 2)))
+    # NO stencil floor beyond the exact cutoff: the NDF is evaluated at
+    # the HALF angle (dot(V,H) with H = normalize(L+V)), so its tail
+    # decays only ~quartically in L-angle — widening the mask past the
+    # reference's 99%-energy cutoff pulled in ~20% spurious tail mass
+    # (measured vs the brute-force cubemap.cu oracle,
+    # tests/test_prefilter_oracle.py).  When the cone is sub-texel at
+    # work_res the filter degenerates toward identity, exactly like the
+    # reference kernel at that resolution (support = the center texel).
 
     dirs = _np_face_dirs(work_res).astype(np.float32)
     areas = _np_areas(work_res).astype(np.float32)
@@ -257,7 +260,7 @@ def _bank_cache_path(base_res: int, cutoff: float) -> str:
 
     d = os.path.expanduser("~/.cache/rise_sdf_tpu")
     os.makedirs(d, exist_ok=True)
-    return os.path.join(d, f"prefilter_v1_{base_res}_{cutoff}.npz")
+    return os.path.join(d, f"prefilter_v2_{base_res}_{cutoff}.npz")
 
 
 @lru_cache(maxsize=4)

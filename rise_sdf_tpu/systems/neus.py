@@ -38,6 +38,12 @@ class NeuSSystem(BaseSystem):
         if mc.get("dynamic_ray_sampling", False):
             default_cap = target_rays * int(mc["num_samples_per_ray"])
         self.capacity = int(mc.get("train_sample_capacity", default_cap))
+        # once the visibility prefilter is active the budget holds only
+        # visible samples (~20-40/ray at convergence vs ~190 live), so a
+        # smaller buffer keeps full ray coverage while cutting the
+        # FD-probe volume proportionally
+        self.capacity_prefiltered = int(
+            mc.get("train_sample_capacity_prefiltered", self.capacity))
         self.eval_chunk = int(mc.get("ray_chunk", 4096))
         self.eval_capacity = self.eval_chunk * int(
             mc.get("eval_samples_per_ray", 128))
@@ -193,7 +199,8 @@ class NeuSSystem(BaseSystem):
         tx = self.tx
         ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         num_rays = max(self.train_num_rays // ndev, 1)
-        capacity = max(self.capacity // ndev, 16)
+        base_cap = self.capacity_prefiltered if prefilter else self.capacity
+        capacity = max(base_cap // ndev, 16)
         axis = "data" if mesh is not None else None
 
         def step_body(params, opt_state, occ_binary, step, rng, data):
