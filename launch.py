@@ -103,15 +103,20 @@ def main():
                           save_dir=save_dir, ckpt_dir=ckpt_dir)
 
     # data-parallel mesh over all visible devices (the reference wires DDP
-    # over the --gpu list here, launch.py:84-97); single device = no mesh
+    # over the --gpu list here, launch.py:84-97); single device = no mesh.
+    # Multi-host (TPU pod) runs initialize the distributed runtime first
+    # (guarded: no-op without a coordinator configured).
     import jax
 
+    from rise_sdf_tpu.parallel import initialize_distributed
+
+    initialize_distributed()
     if jax.device_count() > 1:
         from rise_sdf_tpu.parallel import get_mesh
 
         system.mesh = get_mesh()
-        print(f"data-parallel mesh over {jax.device_count()} devices",
-              flush=True)
+        print(f"data-parallel mesh over {jax.device_count()} devices "
+              f"({jax.process_count()} hosts)", flush=True)
 
     state = system.init_state(seed)
     if args.resume:

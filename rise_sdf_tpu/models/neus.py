@@ -202,6 +202,7 @@ class NeuSModel:
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
             rng=march_rng, t_cut=t_cut,
+            cone_angle=float(self.config.get("cone_angle", 0.0)),
         )
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)
         dists = rs.t_ends - rs.t_starts

@@ -188,7 +188,8 @@ class SplitMixedOccModel:
         acc = w.sum(axis=1, keepdims=True)
         depth = (w * t_mid).sum(axis=1, keepdims=True)
         return jax.lax.stop_gradient(jnp.clip(1.0 - acc, 0.0, 1.0)), \
-            jax.lax.stop_gradient(depth), included
+            jax.lax.stop_gradient(depth), included, \
+            live.sum().astype(jnp.int32)
 
     # ------------------------------------------------------------------ #
     def prefilter_on(self, step: int, train: bool = True) -> bool:
@@ -224,12 +225,15 @@ class SplitMixedOccModel:
     def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
                 stage: int = 0, train: bool = False, relighting: bool = False,
                 capacity: int, background_color, levels=None,
-                secondary_frac=None, prefilter: bool = False):
+                secondary_frac=None, prefilter: bool = False,
+                vis_frac=None):
         """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
-        levels/secondary_frac/prefilter static (``levels`` = open hash
-        levels; None = all; ``secondary_frac`` overrides the
-        secondary-sample compaction budget, e.g. for the eval overflow
-        fallback; ``prefilter`` enables transmittance-aware marching)."""
+        levels/secondary_frac/prefilter/vis_frac static (``levels`` =
+        open hash levels; None = all; ``secondary_frac``/``vis_frac``
+        override the secondary-sample / texture-visibility compaction
+        budgets — e.g. the eval overflow fallback, or the derived
+        fractions from ``SplitOccSystem.calibrate_eval``; ``prefilter``
+        enables transmittance-aware marching)."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = laplace_rng = None
@@ -250,7 +254,8 @@ class SplitMixedOccModel:
             step_size=self.render_step_size,
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
-            rng=march_rng, t_cut=t_cut)
+            rng=march_rng, t_cut=t_cut,
+            cone_angle=float(self.config.get("cone_angle", 0.0)))
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)
         dists = rs.t_ends - rs.t_starts
         ridx = jnp.clip(rs.ray_indices, 0, n_rays - 1)
@@ -273,13 +278,15 @@ class SplitMixedOccModel:
             alpha, rs.ray_start, rs.ray_indices, rs.valid, n_rays)
 
         included = rs.ray_included
-        use_vis = (not train) and self.eval_visibility_frac < 1.0
+        eff_vis_frac = self.eval_visibility_frac if vis_frac is None \
+            else float(vis_frac)
+        use_vis = (not train) and eff_vis_frac < 1.0
         if use_vis:
             # eval visibility compaction: the expensive texture stage
             # (5 MLP heads + mip evals + FG LUT) only runs on samples
             # whose render weight exceeds tau — everything below
             # contributes < tau per channel and is dropped
-            cap2 = max(int(capacity * self.eval_visibility_frac), 16)
+            cap2 = max(int(capacity * eff_vis_frac), 16)
             vis = (weights > 1e-5) & rs.valid
             pos_in_buf = jnp.cumsum(vis.astype(jnp.int32)) - 1
             ok = vis & (pos_in_buf < cap2)
@@ -352,7 +359,7 @@ class SplitMixedOccModel:
             wo = -rays_d
             sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
                 * normal_map - wo
-            tr, sec_depth, sec_inc = self.compute_indirect_radiance(
+            tr, sec_depth, sec_inc, sec_live = self.compute_indirect_radiance(
                 params, sec_o, sec_d, occ_binary, step, levels=levels,
                 frac=secondary_frac)
             # secondary-compaction overflow only matters where the
@@ -410,6 +417,16 @@ class SplitMixedOccModel:
                 rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
             "rays_valid_full": acc_map > 0,
         }
+        if not train:
+            # occupancy/visibility statistics for eval-capacity
+            # calibration (SplitOccSystem.calibrate_eval): live samples
+            # in the buffer, weight>1e-5 texture-stage samples, and live
+            # secondary samples (pre-compaction)
+            out["stat_live"] = rs.num_live
+            out["stat_vis"] = ((weights > 1e-5) & rs.valid).sum()\
+                .astype(jnp.int32)
+            if self.indirect_pred:
+                out["stat_secondary_live"] = sec_live
         if stage != 0:
             rgb_pbr_map = diff_rgb_pbr_map + spec_rgb_pbr_map
             out.update({

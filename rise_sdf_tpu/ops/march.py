@@ -84,8 +84,18 @@ def occupancy_lookup(binary, positions, aabb_min, aabb_max, resolution):
 def candidate_intervals(rays_o, rays_d, t_near, t_far, step_size, num_samples,
                         rng: Optional[jax.Array] = None,
                         near_plane: Optional[float] = None,
-                        far_plane: Optional[float] = None):
-    """[R,S] stratified candidate intervals along each ray."""
+                        far_plane: Optional[float] = None,
+                        cone_angle: float = 0.0,
+                        dt_max: float = 1e10):
+    """[R,S] stratified candidate intervals along each ray.
+
+    ``cone_angle > 0`` reproduces nerfacc's growing steps
+    (``lib/nerfacc/cuda/csrc/ray_marching.cu:9-14``): the k-th step is
+    ``clamp(t_k * cone_angle, step_size, dt_max)`` — uniform near the
+    camera, geometric growth beyond ``step_size / cone_angle``.  The
+    shipped configs all use 0.0 (uniform), which keeps the closed-form
+    fast path.
+    """
     n_rays = rays_o.shape[0]
     if near_plane is not None:
         t_near = jnp.maximum(t_near, near_plane)
@@ -95,10 +105,22 @@ def candidate_intervals(rays_o, rays_d, t_near, t_far, step_size, num_samples,
         u = jax.random.uniform(rng, (n_rays, 1))
     else:
         u = jnp.zeros((n_rays, 1)) + 0.5
-    steps = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
-    t0 = t_near[:, None] + (steps + u) * step_size  # sample midpoint offset
-    t_starts = t0 - 0.5 * step_size
-    t_ends = t0 + 0.5 * step_size
+    if cone_angle and cone_angle > 0.0:
+        def step_fn(t, _):
+            dt = jnp.clip(t * cone_angle, step_size, dt_max)
+            return t + dt, (t, dt)
+
+        _, (t_lo, dts) = jax.lax.scan(step_fn, t_near,
+                                      None, length=num_samples)
+        t_lo, dts = t_lo.T, dts.T                    # [R, S]
+        t0 = t_lo + u * dts                          # jitter inside each step
+        t_starts = t0 - 0.5 * dts
+        t_ends = t0 + 0.5 * dts
+    else:
+        steps = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
+        t0 = t_near[:, None] + (steps + u) * step_size
+        t_starts = t0 - 0.5 * step_size
+        t_ends = t0 + 0.5 * step_size
     in_range = (t0 >= t_near[:, None]) & (t0 < t_far[:, None])
     return t_starts, t_ends, in_range
 
@@ -108,7 +130,9 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
                rng: Optional[jax.Array] = None,
                near_plane: Optional[float] = None,
                far_plane: Optional[float] = None,
-               t_cut: Optional[jnp.ndarray] = None) -> RaySamples:
+               t_cut: Optional[jnp.ndarray] = None,
+               cone_angle: float = 0.0,
+               dt_max: float = 1e10) -> RaySamples:
     """Occupancy-pruned marching, compacted to a fixed-size buffer.
 
     ``t_cut`` ([R], optional) is a per-ray visibility cut distance
@@ -123,7 +147,7 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
     t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
     t_starts, t_ends, live = candidate_intervals(
         rays_o, rays_d, t_near, t_far, step_size, num_samples, rng,
-        near_plane, far_plane,
+        near_plane, far_plane, cone_angle, dt_max,
     )
     t_mid = 0.5 * (t_starts + t_ends)
     if t_cut is not None:

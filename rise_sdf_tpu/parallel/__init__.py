@@ -1,1 +1,7 @@
-from .sharding import get_mesh, make_sharded_train_step  # noqa: F401
+from .sharding import (  # noqa: F401
+    get_mesh,
+    initialize_distributed,
+    is_main_process,
+    make_sharded_train_step,
+    per_device_rngs,
+)

@@ -23,6 +23,46 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_distributed() -> bool:
+    """Guarded multi-host (DCN) init — call once before device queries.
+
+    The reference is single-node DDP (rank from env,
+    ``utils/misc.py:44-52``); the TPU-pod analog is
+    ``jax.distributed.initialize``, which JAX auto-configures on TPU
+    pods from the runtime metadata.  We only attempt it when a
+    coordinator is configured (TPU pod env or explicit
+    JAX_COORDINATOR_ADDRESS), so single-host runs never pay for, or
+    break on, the distributed runtime.  Returns True when the
+    distributed runtime is live.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    want = os.environ.get("JAX_COORDINATOR_ADDRESS") \
+        or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS") \
+        or ("," in hostnames)  # single-worker hosts set this var too
+    if not want:
+        return False
+    try:
+        jax.distributed.initialize()
+        return jax.process_count() > 1
+    except Exception as e:  # mis-set env on a single host: stay local
+        print(f"jax.distributed.initialize failed ({e}); "
+              "continuing single-process", flush=True)
+        return False
+
+
+def is_main_process() -> bool:
+    """Host-0 gate for artifact writes (the rank-zero-only pattern of
+    the reference, ``systems/neus.py:204``)."""
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()

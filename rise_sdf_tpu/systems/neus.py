@@ -335,7 +335,8 @@ class NeuSSystem(BaseSystem):
                     state["params"], state["occ_binary"], chunk, state["step"])
                 self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
-                         for k, v in res.items()})
+                         for k, v in res.items()
+                         if not k.startswith("stat_")})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
     @staticmethod

