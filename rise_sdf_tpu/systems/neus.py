@@ -374,12 +374,15 @@ class NeuSSystem(BaseSystem):
         ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
         step_fns = {}
         occ_update = self.occupancy_update_fn()
+        # per-step keys via fold_in: the stream is a pure function of
+        # (seed, step), so a resumed run replays the exact batches of an
+        # uninterrupted one (bit-deterministic checkpoint/resume)
         rng = jax.random.PRNGKey(seed + 1)
         t0 = time.time()
         start = int(state["step"])
         for step in range(start, max_steps):
             if self.grid_prune and step % 16 == 0:
-                rng, k = jax.random.split(rng)
+                k = jax.random.fold_in(rng, 2 * step + 1)
                 occs, binary = occ_update(state["params"], state["occs"],
                                           state["step"], k)
                 state["occs"], state["occ_binary"] = occs, binary
@@ -392,7 +395,7 @@ class NeuSSystem(BaseSystem):
                 step_fns[key] = self.make_train_step(stage, mesh=mesh,
                                                      levels=levels,
                                                      prefilter=pf)
-            rng, k = jax.random.split(rng)
+            k = jax.random.fold_in(rng, 2 * step)
             if mesh is not None:
                 k = jax.random.split(k, ndev)
             state, aux = step_fns[key](state, k, data)

@@ -19,11 +19,21 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import argparse
+import numpy as np
 import sys
 import time
 
 
+def _apply_platform_env():
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
 def main():
+    _apply_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--system", default="split", choices=["split", "neus"])
@@ -38,6 +48,17 @@ def main():
                          "texture MLP heads — the measured 18%% train-step "
                          "lever; used for the quality A/B vs f32")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint every N steps (NaN forensics)")
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint to resume from (replays the same "
+                         "deterministic rng stream from the saved step)")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax_debug_nans: raise with a traceback at the "
+                         "first NaN-producing op")
+    ap.add_argument("--check-nan", action="store_true",
+                    help="log every step and halt at the first non-finite "
+                         "loss term (NaN bisection)")
     ap.add_argument("--lr", type=float, default=None,
                     help="override geometry/texture lr (the tiny preset's "
                          "0.01 can blow up at level openings; the "
@@ -94,6 +115,8 @@ def main():
             if grp in cfg.system.optimizer.params:
                 cfg.system.optimizer.params[grp].lr = args.lr
     cfg.trainer.max_steps = args.steps
+    if args.save_every:
+        cfg.trainer.save_every_n_steps = args.save_every
     cfg.system.scheduler = {
         "name": "SequentialLR", "milestones": [200],
         "schedulers": [
@@ -105,11 +128,34 @@ def main():
         ],
     }
 
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     dm = datasets.make(cfg.dataset.name, cfg.dataset)
     system = systems.make(cfg.system.name, cfg, dm, save_dir=args.out)
+    state = None
+    if args.resume:
+        state = system.load_checkpoint(args.resume, system.init_state(
+            args.seed))
+        print(f"resumed from {args.resume} at step {int(state['step'])}",
+              flush=True)
     t0 = time.time()
-    state = system.fit(max_steps=args.steps, log_every=100, seed=args.seed,
-                       val_every=args.val_every or None)
+    on_log = None
+    if args.check_nan:
+        def on_log(step, metrics):
+            bad = {k: v for k, v in metrics.items()
+                   if isinstance(v, float) and not np.isfinite(v)}
+            print(f"step {step}: " + " ".join(
+                f"{k}={v:.5g}" for k, v in sorted(metrics.items())),
+                flush=True)
+            if bad:
+                print(f"NON-FINITE at step {step}: {sorted(bad)}", flush=True)
+                raise SystemExit(3)
+    state = system.fit(max_steps=args.steps,
+                       log_every=1 if args.check_nan else 100,
+                       seed=args.seed, val_every=args.val_every or None,
+                       on_log=on_log, state=state)
     print(f"total train time {time.time() - t0:.1f}s", flush=True)
     res = system.validate(state, n_images=2)
     print("FINAL", res, flush=True)
