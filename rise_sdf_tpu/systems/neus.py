@@ -221,9 +221,23 @@ class NeuSSystem(BaseSystem):
                     aux)
                 loss = jax.lax.pmean(loss, axis)
             aux["loss"] = loss
+            # finite-grads guard: a poisoned backward (observed: rare
+            # non-finite table grads from the Pallas scatter path at a
+            # level-opening recompile, see TODO.md) must not corrupt the
+            # params/opt state — skip the update and log it instead of
+            # silently destroying the run
+            grads_ok = jnp.all(jnp.asarray([
+                jnp.all(jnp.isfinite(g))
+                for g in jax.tree_util.tree_leaves(grads)]))
+            aux["skipped_nonfinite"] = 1.0 - grads_ok.astype(jnp.float32)
             updates, new_opt_state = tx.update(grads, opt_state, params)
-            new_params = jax.tree_util.tree_map(lambda p, u: p + u, params,
-                                                updates)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: jnp.where(grads_ok, p + u, p), params, updates)
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(grads_ok, new, old)
+                if isinstance(new, jnp.ndarray) and new.shape == old.shape
+                else new,
+                new_opt_state, opt_state)
             new_params = self.model.post_update(new_params, step)
             return new_params, new_opt_state, aux
 
@@ -399,9 +413,35 @@ class NeuSSystem(BaseSystem):
             if mesh is not None:
                 k = jax.random.split(k, ndev)
             state, aux = step_fns[key](state, k, data)
+            # self-healing scatter fallback: the Pallas table-gradient
+            # kernel can produce persistent non-finite grads on rare
+            # level-opening graphs (forensics in TODO.md).  The guard in
+            # the step skips poisoned updates; two consecutive skips =>
+            # rebuild the step with plain XLA scatter (slower, proven
+            # clean) and continue — fold_in rng keeps the batch stream
+            # aligned, so only the skipped steps are lost.
+            if "skipped_nonfinite" in aux:
+                if float(aux["skipped_nonfinite"]) > 0:
+                    self._consecutive_skips = getattr(
+                        self, "_consecutive_skips", 0) + 1
+                else:
+                    self._consecutive_skips = 0
+                hg = getattr(getattr(self.model.geometry, "encoding", None),
+                             "encoding", None)
+                if self._consecutive_skips >= 2 and hg is not None \
+                        and getattr(hg, "scatter_impl", "xla") != "xla":
+                    print(f"WARNING: step {step}: persistent non-finite "
+                          "grads — falling back to XLA table-gradient "
+                          "scatter and recompiling", flush=True)
+                    hg.set_scatter_impl("xla")
+                    step_fns.clear()
+                    self._consecutive_skips = 0
             if log_every and (step % log_every == 0 or step == max_steps - 1):
                 m = {k2: float(v) for k2, v in aux.items()}
                 m["steps_per_sec"] = (step - start + 1) / (time.time() - t0)
+                if m.get("skipped_nonfinite", 0) > 0:
+                    print(f"WARNING: step {step}: non-finite grads — "
+                          "update skipped", flush=True)
                 if on_log:
                     on_log(step, m)
                 else:

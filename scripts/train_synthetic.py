@@ -53,6 +53,11 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="checkpoint to resume from (replays the same "
                          "deterministic rng stream from the saved step)")
+    ap.add_argument("--scatter", default=None,
+                    choices=["auto", "xla", "pallas"],
+                    help="hash-table gradient scatter impl override "
+                         "(NaN isolation: 'xla' bypasses the Pallas "
+                         "kernel)")
     ap.add_argument("--debug-nans", action="store_true",
                     help="jax_debug_nans: raise with a traceback at the "
                          "first NaN-producing op")
@@ -109,6 +114,8 @@ def main():
                     .compute_dtype = "bfloat16"
         else:
             cfg.model.texture.mlp_network_config.compute_dtype = "bfloat16"
+    if args.scatter:
+        cfg.model.geometry.xyz_encoding_config.scatter_impl = args.scatter
     if args.lr is not None:
         cfg.system.optimizer.args.lr = args.lr
         for grp in ("geometry", "texture"):
