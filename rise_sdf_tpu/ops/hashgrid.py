@@ -49,12 +49,6 @@ class HashGridEncoding:
         self.scatter_impl = config.get("scatter_impl", "auto")
         self._scatter_mode = None  # resolved lazily (needs a backend)
 
-    def set_scatter_impl(self, impl: str):
-        """Runtime override (e.g. the trainer's non-finite-grads
-        fallback, systems/neus.py): takes effect on the next trace."""
-        self.scatter_impl = impl
-        self._scatter_mode = None
-
         # progressive band opening (ProgressiveBandHashGrid); for plain
         # HashGrid all levels are always open
         self.progressive = config.get("otype", "HashGrid") == "ProgressiveBandHashGrid"
@@ -82,6 +76,12 @@ class HashGridEncoding:
             dtype=jnp.float32,
         )
         return {"table": table}
+
+    def set_scatter_impl(self, impl: str):
+        """Runtime override (e.g. the trainer's non-finite-grads
+        fallback, systems/neus.py): takes effect on the next trace."""
+        self.scatter_impl = impl
+        self._scatter_mode = None
 
     # ------------------------------------------------------------------ #
     def current_level(self, step) -> jnp.ndarray:
