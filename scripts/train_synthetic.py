@@ -92,6 +92,10 @@ def main():
         "train_sample_capacity": args.capacity,
         "eval_samples_per_ray": 96, "ray_chunk": 4096,
         "grid_resolution": 64, "cos_anneal_end": args.kick,
+        # transmittance-aware marching: keeps converged-grid evals inside
+        # the sample buffer (without it the 2x fallback overflows once the
+        # surface is solid) and shrinks the post-kick-in train budget
+        "visibility_prefilter": True,
     })
     if args.system == "split":
         cfg.model.split_sum_kick_in_step = args.kick
