@@ -43,24 +43,40 @@ def main():
           file=sys.stderr, flush=True)
     state["occs"], state["occ_binary"] = occs, binary
 
+    from rise_sdf_tpu.utils import roofline
+
     n_levels = system.model.open_levels(10 ** 9)  # all open
     warm_levels = system.model.open_levels(0)
     for stage, levels in ((0, warm_levels), (0, n_levels), (1, n_levels)):
         ts = system.make_train_step(stage, levels=levels)
+        # AOT compile so XLA's own cost analysis (flops + bytes of the
+        # emitted module) positions each stage against the chip roofs
+        # (VERDICT r2 item 5: which roof binds each stage)
         t0 = time.time()
-        state, aux = ts(state, jax.random.PRNGKey(2), data)
+        compiled = ts.lower(state, jax.random.PRNGKey(2), data).compile()
+        costs = roofline.module_costs(compiled)
+        state, aux = compiled(state, jax.random.PRNGKey(2), data)
         jax.block_until_ready(aux["loss"])
         print(f"stage{stage}/L{levels} compile+first: {time.time() - t0:.1f}s "
               f"loss={float(aux['loss']):.4f}", file=sys.stderr, flush=True)
         t0 = time.time()
         n = 10
         for i in range(n):
-            state, aux = ts(state, jax.random.PRNGKey(3 + i), data)
+            state, aux = compiled(state, jax.random.PRNGKey(3 + i), data)
         jax.block_until_ready(aux["loss"])
-        print(f"stage{stage}/L{levels} steady: {(time.time() - t0) / n * 1e3:.1f} "
-              f"ms/step rays={int(aux['num_rays'])} "
-              f"samples={int(aux['num_samples'])}",
-              file=sys.stderr, flush=True)
+        dt = (time.time() - t0) / n
+        line = (f"stage{stage}/L{levels} steady: {dt * 1e3:.1f} "
+                f"ms/step rays={int(aux['num_rays'])} "
+                f"samples={int(aux['num_samples'])} "
+                f"samples/s={int(aux['num_samples']) / dt:.3g}")
+        if costs is not None:
+            r = roofline.summarize(costs, 1, dt, jax.devices()[0])
+            line += (f" | {r['achieved_tflops']:.2f} TFLOP/s"
+                     f" (mfu {r['est_mfu'] * 100:.1f}%),"
+                     f" {r['achieved_hbm_gbs']:.0f} GB/s"
+                     f" ({r['est_membw_frac'] * 100:.1f}% of HBM;"
+                     f" pre-fusion upper bound)")
+        print(line, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
