@@ -73,3 +73,41 @@ def test_calibrate_eval_derives_fractions(tmp_save):
         1, secondary_frac=cal["secondary_frac"], vis_frac=cal["vis_frac"])
     out = system.render_image(state, split, 0, chunk, stage=1)
     assert np.isfinite(out["comp_rgb_full"]).all()
+
+
+def test_finite_grads_guard_skips_poisoned_update(tmp_save):
+    """A step whose backward produces non-finite grads must leave params
+    and optimizer state untouched and report skipped_nonfinite=1
+    (systems/neus.py step_body guard; the self-healing fallback in
+    fit() builds on this — validated live on the TPU NaN replay,
+    TODO.md item 1)."""
+    import jax.numpy as jnp
+
+    cfg = neus_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=tmp_save)
+    state = system.init_state(0)
+    data = system.device_data(dm.train())
+    ts = system.make_train_step(0, levels=system.model.open_levels(0))
+
+    # clean step: update applied, not skipped
+    state1, aux = ts(dict(state), jax.random.PRNGKey(0), data)
+    assert float(aux["skipped_nonfinite"]) == 0.0
+    step1 = int(state1["step"])
+
+    # poison one parameter leaf -> NaN loss/grads everywhere downstream
+    poisoned = jax.tree_util.tree_map(lambda x: x, state1)
+    leaves, treedef = jax.tree_util.tree_flatten(poisoned["params"])
+    leaves = [l.at[(0,) * l.ndim].set(jnp.nan) if l.ndim else l
+              for l in leaves]
+    poisoned["params"] = jax.tree_util.tree_unflatten(treedef, leaves)
+    before = jax.tree_util.tree_map(np.asarray, poisoned["params"])
+
+    state2, aux2 = ts(poisoned, jax.random.PRNGKey(1), data)
+    assert float(aux2["skipped_nonfinite"]) == 1.0
+    after = jax.tree_util.tree_map(np.asarray, state2["params"])
+    for b, a in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    # the step counter still advances (the batch is consumed, not retried)
+    assert int(state2["step"]) == step1 + 1
