@@ -144,8 +144,9 @@ def main():
     from rise_sdf_tpu import models
     from rise_sdf_tpu.config import load_config
 
+    # extra dotlist overrides pass through (e.g. model.eval_samples_per_ray=48)
     cfg = load_config("configs/split-mixed-occ-tensoir.yaml",
-                      cli_args=["dataset.scene=bench"])
+                      cli_args=["dataset.scene=bench"] + sys.argv[1:])
     model = models.make(cfg.model.name, cfg.model)
     params = model.init(jax.random.PRNGKey(0))
     log("model initialized; devices:", jax.devices())
