@@ -406,6 +406,23 @@ class NeuSSystem(BaseSystem):
             pf = self.train_prefilter(step)
             key = (stage, levels, pf)
             if key not in step_fns:
+                # probation after a scatter fallback: the non-finite-grad
+                # fault is graph-specific (level-opening recompiles, see
+                # TODO.md), so a *different* graph gets the preferred
+                # Pallas kernel back — unless probation already failed
+                # twice (then the fallback is sticky for the run)
+                hg = getattr(getattr(self.model.geometry, "encoding", None),
+                             "encoding", None)
+                if (hg is not None
+                        and getattr(self, "_fallback_key", None) is not None
+                        and key != self._fallback_key
+                        and getattr(self, "_fallback_count", 0) < 3
+                        and hg.scatter_impl != self._scatter_pref):
+                    print(f"step {step}: new graph {key} — retrying the "
+                          f"preferred '{self._scatter_pref}' table-gradient "
+                          "scatter (probation)", flush=True)
+                    hg.set_scatter_impl(self._scatter_pref)
+                    self._fallback_key = None
                 step_fns[key] = self.make_train_step(stage, mesh=mesh,
                                                      levels=levels,
                                                      prefilter=pf)
@@ -433,6 +450,11 @@ class NeuSSystem(BaseSystem):
                     print(f"WARNING: step {step}: persistent non-finite "
                           "grads — falling back to XLA table-gradient "
                           "scatter and recompiling", flush=True)
+                    if not hasattr(self, "_scatter_pref"):
+                        self._scatter_pref = hg.scatter_impl
+                    self._fallback_key = key
+                    self._fallback_count = getattr(
+                        self, "_fallback_count", 0) + 1
                     hg.set_scatter_impl("xla")
                     step_fns.clear()
                     self._consecutive_skips = 0

@@ -111,3 +111,30 @@ def test_finite_grads_guard_skips_poisoned_update(tmp_save):
         np.testing.assert_array_equal(b, a)
     # the step counter still advances (the batch is consumed, not retried)
     assert int(state2["step"]) == step1 + 1
+
+
+def test_scatter_probation_restores_preferred_impl(tmp_save, capsys):
+    """After a self-heal fallback (scatter_impl -> xla), a new compile
+    key (level opening / stage flip) re-tries the preferred impl unless
+    probation failed repeatedly (systems/neus.py fit loop)."""
+    cfg = neus_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=tmp_save)
+    hg = system.model.geometry.encoding.encoding
+    # simulate: an earlier graph faulted and fit() fell back to xla
+    system._scatter_pref = "auto"
+    system._fallback_key = ("sentinel-old-key",)
+    system._fallback_count = 1
+    hg.set_scatter_impl("xla")
+    system.fit(max_steps=2, log_every=0)
+    assert hg.scatter_impl == "auto"          # restored on the new graph
+    assert system._fallback_key is None
+    out = capsys.readouterr().out
+    assert "probation" in out
+
+    # sticky after repeated failures: no retry once count >= 3
+    system._fallback_key = ("sentinel-old-key",)
+    system._fallback_count = 3
+    hg.set_scatter_impl("xla")
+    system.fit(max_steps=2, log_every=0)
+    assert hg.scatter_impl == "xla"
