@@ -16,6 +16,22 @@ This measures the candidates against the XLA baseline:
 Records results either way — a measured dead end is a result
 (TODO.md: plain Pallas gather lost to XLA in round 2; this tests the
 VMEM-resident variants specifically).
+
+MEASURED (2026-08-17, v5e via axon; forced-host-read protocol — see
+timeit below, block_until_ready alone is a LIE on this runtime):
+
+  control (idx math + reduce)   3.06 ns/row  (~25 ms = fixed tunnel
+                                round-trip overhead per forced read)
+  xla gather                    7.35 ns/row  => ~4.3 ns/row net of
+                                overhead (matches the r2 5.3 anchor)
+  pallas-row                   29.4 ns/row   => ~26 net — 6x slower
+  pallas-take                  does not lower (Mosaic AssertionError:
+                               no vectorized dynamic VMEM gather on
+                               this stack)
+
+DEAD END: a Pallas VMEM-resident gather cannot beat XLA's issue-rate-
+bound gather here; a fused encode kernel would have to win by removing
+probe-redundant rows, not by a faster raw gather.
 """
 
 import os
@@ -39,14 +55,20 @@ EPR = LANES // F  # entries per packed row
 
 
 def timeit(fn, *args, iters=5):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Forced-host-read timing: on the axon runtime block_until_ready
+    returns WITHOUT executing (measured: an 8.4M-row gather "completes"
+    in 0.1 ms, with or without host-side output->input chaining).  Only
+    an actual host read of (a reduction of) the output forces the
+    dispatch, so every iteration fetches a scalar sum; subtract the
+    control row (same idx math + reduce, no gather) to remove the
+    ~25 ms fixed tunnel round-trip."""
+    red = jax.jit(lambda *a: fn(*a).sum())
+    out = float(red(*args))
     t0 = time.time()
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        out = float(red(*args))
     dt = (time.time() - t0) / iters
-    return dt, out
+    return dt, fn(*args)
 
 
 def xla_gather(table, idx):
@@ -154,7 +176,7 @@ def main():
                   f"match={ok}")
         except Exception as e:
             print(f"{name}: FAILED — {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:200]}")
+                  f"{(str(e).splitlines() or [repr(e)])[0][:200]}")
 
 
 if __name__ == "__main__":

@@ -63,7 +63,11 @@ def main():
         n = 10
         for i in range(n):
             state, aux = compiled(state, jax.random.PRNGKey(3 + i), data)
-        jax.block_until_ready(aux["loss"])
+            # force a host read per step: on the axon runtime
+            # block_until_ready alone returns without executing
+            # (measured — scripts/pallas_gather_bench.py docstring);
+            # the ~25 ms round-trip is noise at seconds-per-step
+            float(aux["loss"])
         dt = (time.time() - t0) / n
         line = (f"stage{stage}/L{levels} steady: {dt * 1e3:.1f} "
                 f"ms/step rays={int(aux['num_rays'])} "
