@@ -46,13 +46,15 @@ def main():
         ts = system.make_train_step(stage, levels=levels)
         t0 = time.time()
         state, aux = ts(state, jax.random.PRNGKey(2), data)
-        jax.block_until_ready(aux["loss"])
+        float(aux["loss"])  # host read: forces execution on axon
         compile_s = time.time() - t0
         t0 = time.time()
         n = 8
         for i in range(n):
             state, aux = ts(state, jax.random.PRNGKey(3 + i), data)
-        jax.block_until_ready(aux["loss"])
+        # the state chain makes each step depend on the previous; reading
+        # the final loss forces the whole sequence (axon defers otherwise)
+        float(aux["loss"])
         dt = (time.time() - t0) / n * 1e3
         print(f"{name:16s} {dt:8.1f} ms/step  (compile {compile_s:.0f}s, "
               f"samples={int(aux['num_samples'])})", flush=True)

@@ -13,22 +13,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from _timing import timeit_op
+
+
 def timeit(name, f, *args, iters=10):
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters * 1e3
-    print(f"{name}: {dt:.2f} ms", file=sys.stderr, flush=True)
-    return dt
+    return timeit_op(name, f, *args, iters=iters) * 1e3
 
 
 def main():
     print("devices:", jax.devices(), file=sys.stderr, flush=True)
     key = jax.random.PRNGKey(0)
-    n = 524288
+    # optional argv[1]: row count (CPU smoke runs use a small one)
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 524288
     t_size = 2 ** 19
     table = jax.random.normal(key, (t_size, 2))
     # 8 corner indices per sample like one hash level

@@ -1,5 +1,5 @@
-"""Microbenchmarks of hot ops (stderr logs). Chained inputs prevent any
-result caching; block_until_ready per iteration batch."""
+"""Microbenchmarks of hot ops (stderr logs). Forced-read scan timing
+(see scripts/_timing.py) — block_until_ready is not honest on axon."""
 
 import os
 import sys
@@ -19,19 +19,12 @@ import jax
 import jax.numpy as jnp
 
 
+from _timing import timeit_chain
+
+
 def timeit(name, make_fn, x0, iters=10):
-    """make_fn returns f(x) -> (out, x_next) to force serial dependency."""
-    f = jax.jit(make_fn)
-    x = x0
-    out, x = f(x)
-    jax.block_until_ready((out, x))
-    t0 = time.time()
-    for _ in range(iters):
-        out, x = f(x)
-    jax.block_until_ready((out, x))
-    dt = (time.time() - t0) / iters
-    print(f"{name}: {dt * 1e3:.3f} ms", file=sys.stderr, flush=True)
-    return dt
+    """make_fn returns f(x) -> (out, x_next); forced-read scan timing."""
+    return timeit_chain(name, make_fn, x0, iters=iters)
 
 
 def main():

@@ -15,15 +15,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
+from _timing import timeit_op
+
+
 def timeit(name, f, *args, iters=5):
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    print(f"{name}: {(time.time() - t0) / iters * 1e3:.1f} ms",
-          file=sys.stderr, flush=True)
+    return timeit_op(name, f, *args, iters=iters)
 
 
 def main():

@@ -12,15 +12,13 @@ import jax
 import jax.numpy as jnp
 
 
+from _timing import timeit_op
+
+
 def timeit(name, f, *args, iters=10):
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    print(f"{name}: {(time.time() - t0) / iters * 1e3:.2f} ms",
-          file=sys.stderr, flush=True)
+    # chain through the float updates (arg 1) when present, else arg 0
+    return timeit_op(name, f, *args, iters=iters,
+                     chain=1 if len(args) > 1 else 0)
 
 
 def main():

@@ -104,15 +104,9 @@ def main():
     print(f"correctness max abs err (4 chunks): {err:.2e}", flush=True)
     assert err < 1e-3
 
+    from _timing import timeit_op
     for name, fn in [("xla_scatter", xla_scatter), ("pallas", pallas_fn)]:
-        out = fn(idx, vals)
-        jax.block_until_ready(out)
-        t0 = time.time()
-        n = 5
-        for _ in range(n):
-            out = fn(idx, vals)
-        jax.block_until_ready(out)
-        dt = (time.time() - t0) / n
+        dt = timeit_op(name, fn, idx, vals, iters=5, chain=1)
         print(f"{name:12s} {dt * 1e3:8.1f} ms  {dt / m * 1e9:6.2f} ns/row",
               flush=True)
 
