@@ -340,23 +340,42 @@ class NeuSSystem(BaseSystem):
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"])
             # overflow fallback: if the fixed sample budget dropped rays,
-            # re-render this chunk with a 2x buffer (compiled lazily once)
+            # re-render this chunk with escalating 2x/4x buffers
+            # (compiled lazily, once per level)
             if "ray_included" in res and not bool(res["ray_included"].all()):
-                if not hasattr(render_chunk, "_fallback"):
-                    render_chunk._fallback = self._make_fallback_chunk(
-                        render_chunk)
-                res = render_chunk._fallback(
-                    state["params"], state["occ_binary"], chunk, state["step"])
+                res = self._escalate_fallback(
+                    render_chunk,
+                    lambda fn: fn(state["params"], state["occ_binary"],
+                                  chunk, state["step"]))
                 self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()
                          if not k.startswith("stat_")})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
 
+    def _escalate_fallback(self, render_chunk, invoke):
+        """Re-render an overflowed chunk with a 2x, then 4x sample
+        buffer until every ray fits (soft mid-training fields can
+        overflow 2x; observed at the step-1125 val of the r3 long run).
+        Each level compiles lazily once per render_chunk and is cached
+        on it.  ``invoke``: chunk_fn -> res (binds the chunk args)."""
+        res = None
+        fbs = getattr(render_chunk, "_fallbacks", None)
+        if fbs is None:
+            fbs = render_chunk._fallbacks = {}
+        for mult in (2, 4):
+            if mult not in fbs:
+                fbs[mult] = self._make_fallback_chunk(render_chunk, mult)
+            res = invoke(fbs[mult])
+            if bool(res["ray_included"].all()):
+                break
+        return res
+
     @staticmethod
     def _warn_dropped_rays(res, chunk_start):
-        """If even the 2x fallback buffer overflowed, eval metrics are
-        computed on partially-rendered pixels — make that detectable."""
+        """If even the largest fallback buffer overflowed, eval metrics
+        are computed on partially-rendered pixels — make that
+        detectable."""
         if "ray_included" in res:
             dropped = int((~np.asarray(res["ray_included"])).sum())
             if dropped:
@@ -365,8 +384,8 @@ class NeuSSystem(BaseSystem):
                       "were rendered partially — metrics may be corrupted",
                       flush=True)
 
-    def _make_fallback_chunk(self, render_chunk):
-        return self.make_render_chunk(capacity=self.eval_capacity * 2)
+    def _make_fallback_chunk(self, render_chunk, mult: int = 2):
+        return self.make_render_chunk(capacity=self.eval_capacity * mult)
 
     # ------------------------------------------------------------------ #
     def fit(self, max_steps: Optional[int] = None, seed: int = 42,

@@ -111,8 +111,12 @@ class SplitOccSystem(NeuSSystem):
                 background_color=jnp.ones((3,)), prefilter=pf)
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
-                    "ray_included", "stat_live", "stat_vis",
-                    "stat_secondary_live"]
+                    "ray_included"]
+            if mesh is None:
+                # calibration statistics are rank-0 — they cannot ride
+                # the P("data") out_specs of the sharded path, and
+                # calibrate_eval only ever probes unsharded chunks
+                keep += ["stat_live", "stat_vis", "stat_secondary_live"]
             if stage != 0:
                 keep += ["comp_rgb_phys_full", "comp_albedo", "comp_metallic",
                          "comp_roughness", "comp_spec_rgb_phys",
@@ -159,24 +163,26 @@ class SplitOccSystem(NeuSSystem):
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"], mips)
             if "ray_included" in res and not bool(res["ray_included"].all()):
-                if not hasattr(render_chunk, "_fallback"):
-                    base_frac = getattr(render_chunk, "_sec_frac", None)
-                    if base_frac is None:
-                        base_frac = self.model.secondary_sample_capacity_frac
-                    render_chunk._fallback = self.make_render_chunk(
-                        getattr(render_chunk, "_stage", stage),
-                        getattr(render_chunk, "_relighting", False),
-                        capacity=self.eval_capacity * 2,
-                        secondary_frac=min(base_frac * 2, 1.0),
-                        vis_frac=getattr(render_chunk, "_vis_frac", None))
-                res = render_chunk._fallback(
-                    state["params"], state["occ_binary"], chunk,
-                    state["step"], mips)
+                res = self._escalate_fallback(
+                    render_chunk,
+                    lambda fn: fn(state["params"], state["occ_binary"],
+                                  chunk, state["step"], mips))
                 self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()
                          if not k.startswith("stat_")})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    def _make_fallback_chunk(self, render_chunk, mult: int = 2):
+        base_frac = getattr(render_chunk, "_sec_frac", None)
+        if base_frac is None:
+            base_frac = self.model.secondary_sample_capacity_frac
+        return self.make_render_chunk(
+            getattr(render_chunk, "_stage", 1),
+            getattr(render_chunk, "_relighting", False),
+            capacity=self.eval_capacity * mult,
+            secondary_frac=min(base_frac * mult, 1.0),
+            vis_frac=getattr(render_chunk, "_vis_frac", None))
 
     # ------------------------------------------------------------------ #
     def _save_envmap(self, state):

@@ -1,0 +1,45 @@
+"""Eval overflow fallback escalates 2x -> 4x.
+
+The step-1125 val of the r3 long run showed a soft mid-training field
+can overflow even the 2x buffer (reference never overflows — dynamic
+shapes); the ladder bounds the damage with one more escalation level
+before warning.
+"""
+
+import numpy as np
+import pytest
+
+from rise_sdf_tpu import datasets, systems
+from rise_sdf_tpu.presets import tiny_neus_config as neus_config
+
+
+def test_fallback_ladder_escalates(tmp_path):
+    cfg = neus_config()
+    # starve the eval budget so the base chunk AND the 2x fallback
+    # overflow on the untrained (fully occupied) field
+    cfg.model.eval_samples_per_ray = 4
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=str(tmp_path))
+    state = system.fit(max_steps=2, log_every=0)
+
+    chunk = system.make_render_chunk()
+    split = system.datamodule.test()
+    out = system.render_image(state, split, 0, chunk)
+    assert np.isfinite(out["comp_rgb_full"]).all()
+    fbs = getattr(chunk, "_fallbacks", {})
+    assert 2 in fbs, "2x fallback level never built"
+    assert 4 in fbs, "expected escalation to the 4x level"
+
+    # a successful level short-circuits: a generous budget stops at 2x
+    cfg2 = neus_config()
+    dm2 = datasets.make(cfg2.dataset.name, cfg2.dataset)
+    sys2 = systems.make(cfg2.system.name, cfg2, dm2, save_dir=str(tmp_path))
+    state2 = sys2.fit(max_steps=2, log_every=0)
+    # base budget 32/ray on a fresh field may or may not overflow; force
+    # the ladder by handing render_image an artificially starved chunk
+    starved = sys2.make_render_chunk(capacity=sys2.eval_chunk * 2)
+    out2 = sys2.render_image(state2, split, 0, starved)
+    assert np.isfinite(out2["comp_rgb_full"]).all()
+    fbs2 = getattr(starved, "_fallbacks", {})
+    if fbs2:  # overflowed -> 2x (eval_capacity*2 = 64/ray) must suffice
+        assert 2 in fbs2 and 4 not in fbs2
