@@ -480,6 +480,14 @@ class NeuSSystem(BaseSystem):
             if log_every and (step % log_every == 0 or step == max_steps - 1):
                 m = {k2: float(v) for k2, v in aux.items()}
                 m["steps_per_sec"] = (step - start + 1) / (time.time() - t0)
+                # windowed rate since the previous log line — excludes
+                # startup compile, so it converges to the true step time
+                now = time.time()
+                last_step, last_t = getattr(self, "_rate_mark",
+                                            (start, t0))
+                m["steps_per_sec_window"] = (step - last_step) \
+                    / max(now - last_t, 1e-9) if step > last_step else 0.0
+                self._rate_mark = (step, now)
                 if m.get("skipped_nonfinite", 0) > 0:
                     print(f"WARNING: step {step}: non-finite grads — "
                           "update skipped", flush=True)
@@ -494,7 +502,9 @@ class NeuSSystem(BaseSystem):
                           f"inv_s={m['inv_s']:.1f} "
                           f"rays={int(m['num_rays'])} "
                           f"samples={int(m['num_samples'])} "
-                          f"sps={m['steps_per_sec']:.2f}", flush=True)
+                          f"sps={m['steps_per_sec']:.2f} "
+                          f"w={m['steps_per_sec_window']:.3f}",
+                          flush=True)
             if save_every and step > 0 and step % save_every == 0:
                 self.save_checkpoint(state, os.path.join(
                     self.ckpt_dir, "latest.ckpt.npz"))
