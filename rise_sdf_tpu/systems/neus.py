@@ -336,7 +336,12 @@ class NeuSSystem(BaseSystem):
             chunk = rays[s:s + self.eval_chunk]
             pad = self.eval_chunk - chunk.shape[0]
             if pad:
-                chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+                # edge-pad: zero-direction pad rays march degenerately and
+                # overflow the sample buffer, spuriously escalating the
+                # fallback on every image's last chunk (seen in the r3
+                # long-run vals); duplicated real rays behave like their
+                # source
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)), mode="edge")
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"])
             # overflow fallback: if the fixed sample budget dropped rays,

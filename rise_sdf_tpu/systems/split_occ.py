@@ -159,7 +159,9 @@ class SplitOccSystem(NeuSSystem):
             chunk = rays[s:s + self.eval_chunk]
             pad = self.eval_chunk - chunk.shape[0]
             if pad:
-                chunk = jnp.pad(chunk, ((0, pad), (0, 0)))
+                # edge-pad: zero-direction pad rays overflow the buffer
+                # and spuriously escalate the fallback (see neus.py)
+                chunk = jnp.pad(chunk, ((0, pad), (0, 0)), mode="edge")
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"], mips)
             if "ray_included" in res and not bool(res["ray_included"].all()):
