@@ -25,13 +25,27 @@ def binary_cross_entropy(x, y):
     return -(y * jnp.log(x) + (1 - y) * jnp.log(1 - x)).mean()
 
 
-def mean_angular_error(pred, gt):
-    """Mean angular error between unit-ish normal maps, radians
-    (reference criterions.py:161-181)."""
+def mean_angular_error(pred, gt, mask=None, degrees: bool = False):
+    """Mean angular error between unit-ish normal maps
+    (reference criterions.py:161-181).
+
+    ``mask`` (foreground alpha, broadcastable to the ray axis) restricts
+    the mean to foreground pixels like the reference.  The reference
+    clamps the dot product to ``[1e-8, 1-1e-8]`` — capping opposite
+    normals at 90° — a latent quirk we do NOT replicate (SURVEY §
+    quirks); we clamp to the full ``[-1, 1]`` range, which only differs
+    when normals disagree by more than 90°.
+    """
     dot = jnp.sum(pred * gt, axis=-1)
     dot = dot / jnp.maximum(
         jnp.linalg.norm(pred, axis=-1) * jnp.linalg.norm(gt, axis=-1), 1e-9)
-    return jnp.arccos(jnp.clip(dot, -1.0 + 1e-7, 1.0 - 1e-7)).mean()
+    err = jnp.arccos(jnp.clip(dot, -1.0 + 1e-7, 1.0 - 1e-7))
+    if degrees:
+        err = err * (180.0 / jnp.pi)
+    if mask is not None:
+        m = mask.reshape(err.shape)
+        return jnp.sum(err * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return err.mean()
 
 
 def _gaussian_kernel(size: int, sigma: float):

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import register
-from .criterions import binary_cross_entropy, psnr, ssim
+from .criterions import binary_cross_entropy, mean_angular_error, psnr, ssim
 from .lpips import available as lpips_available, lpips
 from .neus import NeuSSystem
 from ..utils.color import linear_to_srgb_np
@@ -338,11 +338,12 @@ class SplitOccSystem(NeuSSystem):
             self.config["dataset"].get("has_albedo", False)
         has_rough = hasattr(split, "all_roughness") and \
             self.config["dataset"].get("has_roughness", False)
+        has_normal = hasattr(split, "all_normals")
         use_lpips = lpips_available()
         agg = {k: [] for k in
                ["psnr", "phys_psnr", "phys_ssim", "phys_lpips",
                 "albedo_psnr", "albedo_ssim", "albedo_lpips",
-                "roughness_psnr"]}
+                "roughness_psnr", "normal_mae"]}
         relight_agg = {l: {"psnr": [], "ssim": [], "lpips": []}
                        for l in self.relight_list}
 
@@ -433,6 +434,15 @@ class SplitOccSystem(NeuSSystem):
                     r = self._median_align(out["comp_roughness"], gt_r, mask)
                     agg["roughness_psnr"].append(float(psnr(jnp.asarray(r),
                                                             jnp.asarray(gt_r))))
+                if has_normal:
+                    # degrees, foreground-masked — the reference registers
+                    # this criterion (systems/split_occ.py:49 -> MAE at
+                    # criterions.py:161-181) but never evaluates it; we do
+                    gt_n = np.asarray(split.all_normals[i]).reshape(-1, 3)
+                    agg["normal_mae"].append(float(mean_angular_error(
+                        jnp.asarray(out["comp_normal"].reshape(-1, 3)),
+                        jnp.asarray(gt_n), mask=jnp.asarray(mask),
+                        degrees=True)))
 
                 for light in self.relight_list:
                     rout = self.render_image(state, split, i, relight_chunk,

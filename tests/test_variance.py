@@ -76,3 +76,31 @@ def test_ssim_bounded_on_constant_background():
     assert val <= 1.0 + 1e-6, val
     assert val > 0.9
     assert float(ssim(a, a)) <= 1.0 + 1e-6
+
+
+def test_mean_angular_error_degrees_and_mask():
+    """30-degree rotation reads as 30 deg; masked-out garbage is ignored
+    (reference criterions.py:161-181 masks by GT alpha)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rise_sdf_tpu.systems.criterions import mean_angular_error
+
+    th = np.deg2rad(30.0)
+    gt = np.tile([0.0, 0.0, 1.0], (16, 1)).astype(np.float32)
+    pred = np.tile([np.sin(th), 0.0, np.cos(th)], (16, 1)).astype(np.float32)
+    err = float(mean_angular_error(jnp.asarray(pred), jnp.asarray(gt),
+                                   degrees=True))
+    np.testing.assert_allclose(err, 30.0, atol=0.05)
+
+    # poison the second half, mask it out
+    pred2 = pred.copy()
+    pred2[8:] = [-1.0, 0.0, 0.0]
+    mask = np.zeros((16, 1), np.float32)
+    mask[:8] = 1.0
+    err_m = float(mean_angular_error(jnp.asarray(pred2), jnp.asarray(gt),
+                                     mask=jnp.asarray(mask), degrees=True))
+    np.testing.assert_allclose(err_m, 30.0, atol=0.05)
+    # unmasked mean must be pulled up by the poisoned rows
+    assert float(mean_angular_error(jnp.asarray(pred2), jnp.asarray(gt),
+                                    degrees=True)) > 50.0
