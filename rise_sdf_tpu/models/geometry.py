@@ -61,6 +61,14 @@ class VolumeSDF:
         # tetrahedron vertices — grad = 3/(4 eps) * sum_i s(x+eps v_i) v_i
         # (1.5x fewer probe rows; first-order accurate instead of second)
         self.fd_probe_mode = str(config.get("fd_probe_mode", "central6"))
+        # curvature-probe trim: the PermutoSDF curvature loss is a MEAN
+        # over samples, so probing a strided 1/s subset gives an unbiased
+        # estimate at 1/s of the probe's encode+grad cost.  Samples arrive
+        # ray-major from the marcher, so a stride sweeps uniformly across
+        # rays.  1.0 (default) = probe every sample (reference behavior,
+        # geometry.py:246-282).
+        frac = float(config.get("curvature_probe_frac", 1.0))
+        self.laplace_stride = max(int(round(1.0 / max(frac, 1e-6))), 1)
 
     def init(self, key):
         k1, k2 = jax.random.split(key)
@@ -202,11 +210,14 @@ class VolumeSDF:
             return hg.apply(enc_params, uu, step,
                             levels=(fine_lo, levels))
 
-        def full_enc(uu, du, fine_feats):
+        def full_enc(uu, du, fine_feats, base=None):
             """Taylor(coarse at u, offset du) + exact fine + xyz prefix.
-            Leading (probe) axes broadcast against the [N, D] base arrays."""
-            e = (c0 + jx * du[..., 0:1] + jy * du[..., 1:2]
-                 + jz * du[..., 2:3] + fine_feats)
+            Leading (probe) axes broadcast against the [N, D] base arrays.
+            ``base`` overrides the (c0, jx, jy, jz) closure for subset
+            (curvature-trim) evaluations."""
+            b0, bx, by, bz = (c0, jx, jy, jz) if base is None else base
+            e = (b0 + bx * du[..., 0:1] + by * du[..., 1:2]
+                 + bz * du[..., 2:3] + fine_feats)
             if comp.include_xyz:
                 e = jnp.concatenate(
                     [uu * comp.xyz_scale + comp.xyz_offset, e], -1)
@@ -231,19 +242,24 @@ class VolumeSDF:
         laplace = None
         if with_laplace:
             eps2 = 1e-4
-            rand_dirs = _normalize(jax.random.uniform(rng, x_world.shape))
-            normal = _normalize(grad)
+            s = self.laplace_stride
+            xs, us, grad_s = x_world[::s], u[::s], grad[::s]
+            base_s = (c0[::s], jx[::s], jy[::s], jz[::s])
+            rand_dirs = _normalize(jax.random.uniform(rng, xs.shape))
+            normal = _normalize(grad_s)
             tangent = jnp.cross(normal, rand_dirs)
-            ut = jnp.clip(self.contract(x_world + eps2 * tangent), 0.0, 1.0)
+            ut = jnp.clip(self.contract(xs + eps2 * tangent), 0.0, 1.0)
 
             def sdf_at_u(uu):
                 return jnp.sum(self._head(
-                    params, full_enc(uu, uu - u, enc_fine(uu)))[..., 0])
+                    params,
+                    full_enc(uu, uu - us, enc_fine(uu), base=base_s)
+                )[..., 0])
 
             # d sdf / d u / (2r): coarse term is the frozen Jacobian,
             # fine term is the exact trilinear gradient at the offset
             grad_d = jax.grad(sdf_at_u)(ut) / (2.0 * self.radius)
-            dot = jnp.sum(_normalize(grad) * _normalize(grad_d), -1)
+            dot = jnp.sum(_normalize(grad_s) * _normalize(grad_d), -1)
             angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
             laplace = angle / jnp.pi
         return raw0, grad, laplace
@@ -314,12 +330,14 @@ class VolumeSDF:
             # PermutoSDF curvature probe (reference geometry.py:246-282)
             assert with_grad and rng is not None
             eps2 = 1e-4
-            rand_dirs = _normalize(jax.random.uniform(rng, x_world.shape))
-            normal = _normalize(out["grad"])
+            s = self.laplace_stride
+            xs, grad_s = x_world[::s], out["grad"][::s]
+            rand_dirs = _normalize(jax.random.uniform(rng, xs.shape))
+            normal = _normalize(grad_s)
             tangent = jnp.cross(normal, rand_dirs)
-            xd = x_world + eps2 * tangent
+            xd = xs + eps2 * tangent
             grad_d = self.analytic_grad(params, xd, step, levels=levels)
-            dot = jnp.sum(_normalize(out["grad"]) * _normalize(grad_d), -1)
+            dot = jnp.sum(_normalize(grad_s) * _normalize(grad_d), -1)
             angle = jnp.arccos(jnp.clip(dot, -1.0 + 1e-6, 1.0 - 1e-6))
             out["laplace"] = angle / jnp.pi
         return out

@@ -458,6 +458,10 @@ class SplitMixedOccModel:
             })
             if want_laplace:
                 out["sdf_laplace_samples"] = geo["laplace"]
+                # curvature-probe trim: the probe ran on a strided subset
+                # of samples; the loss must mask with the same stride
+                ls = getattr(self.geometry, "laplace_stride", 1)
+                out["sdf_laplace_valid"] = rs.valid[::ls]
         return out
 
     def forward_level(self, params, x, step=None):

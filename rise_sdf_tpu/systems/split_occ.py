@@ -60,7 +60,8 @@ class SplitOccSystem(NeuSSystem):
         if "sdf_laplace_samples" in out and (
                 not isinstance(lam_curv, (int, float)) or lam_curv > 0):
             losses["curvature"] = self.masked_mean(
-                jnp.abs(out["sdf_laplace_samples"]), sv)
+                jnp.abs(out["sdf_laplace_samples"]),
+                out.get("sdf_laplace_valid", sv))
             loss = loss + losses["curvature"] * self.C(lam_curv, step)
 
         lam_no = cfg.get("lambda_normal_orientation", 0.0)
