@@ -175,9 +175,14 @@ class VolumeSDF:
     def _fd_fine_k(self) -> int:
         """Number of finest levels whose cell size is within ~4x of the
         progressive eps (eps = finest open cell): these need true FD
-        probes; coarser levels are linear at that scale."""
+        probes; coarser levels are linear at that scale.  ``fd_fine_k``
+        in the config overrides the derived count (perf/quality A/B —
+        each dropped level cuts its share of the 6 probes' gathers)."""
         import math
 
+        override = self.config.get("fd_fine_k", None)
+        if override is not None:
+            return max(int(override), 1)
         hg = self.encoding.encoding
         return max(int(math.ceil(math.log(4.0)
                                  / math.log(hg.per_level_scale))), 1)

@@ -68,6 +68,11 @@ def main():
                     help="override geometry/texture lr (the tiny preset's "
                          "0.01 can blow up at level openings; the "
                          "production config trains at 0.005)")
+    ap.add_argument("--set", dest="overrides", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="dotlist config override applied last (repeatable; "
+                         "e.g. --set model.geometry.curvature_probe_frac=0.25"
+                         " for perf/quality A/Bs)")
     args = ap.parse_args()
 
     from rise_sdf_tpu import datasets, systems
@@ -138,6 +143,12 @@ def main():
              "args": {"gamma": 0.1 ** (1.0 / max(args.steps - 200, 1))}},
         ],
     }
+
+    if args.overrides:
+        from rise_sdf_tpu.config import parse_cli_overrides
+
+        cfg.merge(parse_cli_overrides(args.overrides))
+        print("overrides:", args.overrides, flush=True)
 
     if args.debug_nans:
         import jax

@@ -162,3 +162,11 @@ def test_curvature_probe_trim_stride():
         # same estimator on a 4x-smaller sample: means agree loosely
         np.testing.assert_allclose(lt.mean(), lf.mean(), rtol=0.35,
                                    atol=0.03)
+
+
+def test_fd_fine_k_override():
+    g, _ = make_sdf(True)
+    assert g._fd_fine_k() >= 1
+    cfg = dict(g.config)
+    cfg["fd_fine_k"] = 3
+    assert VolumeSDF(cfg)._fd_fine_k() == 3
