@@ -32,11 +32,16 @@ def look_at(eye: np.ndarray) -> np.ndarray:
     return np.stack([right, true_up, -forward, eye], axis=1).astype(np.float32)
 
 
-def camera_poses(n: int, radius: float = 4.0, seed: int = 0) -> np.ndarray:
+def camera_poses(n: int, radius: float = 4.0, seed: int = 0,
+                 phase: float = 0.0) -> np.ndarray:
+    """``phase`` (in pose-index units) rotates the azimuth ladder so two
+    shards of n views (phase 0 and 0.5) interleave into 2n distinct
+    views — used to split the full test protocol into processes shorter
+    than the axon tunnel's ~2h hang horizon."""
     rng = np.random.default_rng(seed)
     poses = []
     for i in range(n):
-        theta = 2 * math.pi * i / n
+        theta = 2 * math.pi * (i + phase) / n
         phi = math.pi / 4 + 0.3 * math.sin(3 * theta) + 0.05 * rng.standard_normal()
         eye = radius * np.array([
             math.cos(theta) * math.sin(phi),
@@ -155,7 +160,9 @@ class SyntheticSplit:
         self.directions = get_ray_directions(
             self.w, self.h, self.focal, self.focal, self.w // 2, self.h // 2)
         seed = {"train": 0, "val": 1, "test": 2}.get(split, 3)
-        self.all_c2w = camera_poses(n_images, seed=seed)
+        self.all_c2w = camera_poses(
+            n_images, seed=seed,
+            phase=float(config.get("pose_phase", 0.0)))
         imgs, masks, albs, roughs, normals = [], [], [], [], []
         for i in range(n_images):
             rgb, m, a, r, nrm = render_image(self.all_c2w[i], self.directions)

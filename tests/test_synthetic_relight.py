@@ -56,3 +56,19 @@ def test_relight_metric_loop_runs(tmp_path):
     res = system.test(state, export=False)
     assert "relight_psnr_warm" in res and np.isfinite(res["relight_psnr_warm"])
     assert "relight_ssim_warm" in res
+
+
+def test_pose_phase_interleaves_views():
+    """pose_phase=0.5 yields azimuths disjoint from phase 0 (two 8-view
+    test shards cover 16 distinct cameras); phase 0 is unchanged."""
+    import numpy as np
+
+    from rise_sdf_tpu.datasets.synthetic import camera_poses
+
+    base = camera_poses(8, seed=2)
+    again = camera_poses(8, seed=2, phase=0.0)
+    np.testing.assert_array_equal(base, again)
+    shifted = camera_poses(8, seed=2, phase=0.5)
+    # camera centers all differ by a nontrivial rotation
+    d = np.linalg.norm(base[:, :3, 3] - shifted[:, :3, 3], axis=-1)
+    assert (d > 0.5).all(), d
