@@ -114,9 +114,15 @@ def main():
     if jax.device_count() > 1:
         from rise_sdf_tpu.parallel import get_mesh
 
-        system.mesh = get_mesh()
-        print(f"data-parallel mesh over {jax.device_count()} devices "
-              f"({jax.process_count()} hosts)", flush=True)
+        # system.table_shards > 1 carves a 'model' axis off the mesh that
+        # shards hash-table rows (embedding-style tensor parallelism) —
+        # tables and their Adam moments beyond one chip's HBM
+        tp = int(config["system"].get("table_shards", 1))
+        system.mesh = get_mesh(table_shards=tp)
+        print(f"mesh over {jax.device_count()} devices: "
+              f"data={system.mesh.shape['data']}"
+              + (f" x model={tp}" if tp > 1 else "")
+              + f" ({jax.process_count()} hosts)", flush=True)
 
     state = system.init_state(seed)
     if args.resume:

@@ -122,6 +122,55 @@ class HashGridEncoding:
         return table_l[flat]
 
     # ------------------------------------------------------------------ #
+    def _shard_ctx(self):
+        """Active table-row sharding, iff tracing inside a shard_map body
+        wrapped in ``parallel.table_sharding`` (tensor parallelism over
+        the 'model' mesh axis).  Returns (axis_name, rows_per_shard) or
+        None.  Outside that context the full table is used unsharded."""
+        from ..parallel import current_table_sharding
+
+        ctx = current_table_sharding()
+        if ctx is None:
+            return None
+        axis, n = ctx
+        assert self.table_size % n == 0, \
+            f"table_size {self.table_size} not divisible by {n} shards"
+        return axis, self.table_size // n
+
+    @staticmethod
+    def _allreduce_features(x, axis):
+        """psum with an identity backward, applied leaf-wise.
+
+        Forward: reassemble the per-shard feature contributions
+        (each table row is owned by exactly one shard, so the sum is
+        exact).  Backward: the replicated output's cotangent flows
+        unchanged to each shard's local contribution — the exact
+        transpose of the row-partitioned sum.  A raw ``lax.psum`` under
+        ``check_vma=False`` shard_maps transposes to *another* psum,
+        scaling table gradients by the shard count; the
+        ``x + stop_gradient(psum(x) - x)`` form pins the backward to
+        identity and stays correct at any differentiation order (the
+        curvature probe differentiates the encode twice)."""
+        return jax.tree_util.tree_map(
+            lambda v: v + jax.lax.stop_gradient(jax.lax.psum(v, axis) - v),
+            x)
+
+    def _lookup_masked(self, table_l, flat, shard):
+        """Row lookup under sharding: translate global row ids to this
+        shard's local ids; rows owned elsewhere contribute zeros (the
+        caller psums over the shard axis to reassemble).  The backward
+        scatter-adds only into locally-owned rows — table gradients stay
+        sharded."""
+        if shard is None:
+            return self._lookup(table_l, flat)
+        axis, tloc = shard
+        off = jax.lax.axis_index(axis).astype(jnp.int32) * tloc
+        loc = flat - off
+        valid = (loc >= 0) & (loc < tloc)
+        vals = self._lookup(table_l, jnp.clip(loc, 0, tloc - 1))
+        return vals * valid[..., None].astype(vals.dtype)
+
+    # ------------------------------------------------------------------ #
     def _corner_indices(self, i0: jnp.ndarray, level: int) -> jnp.ndarray:
         """Flat table indices for the 8 corners. i0: [N, 3] int32."""
         res = int(self.resolutions[level])
@@ -186,6 +235,7 @@ class HashGridEncoding:
         gathers of levels outside the range entirely — their feature slots
         are zeros (output width is always L*F for shape stability)."""
         lo, hi = self._level_range(levels, self.n_levels)
+        shard = self._shard_ctx()
         n = x.shape[0]
         feats = []
         zero = None
@@ -196,10 +246,13 @@ class HashGridEncoding:
                 feats.append(zero)
                 continue
             w, flat = self._level_geometry(x, l)
-            vals = self._lookup(table[l], flat)  # [N,8,F]
+            vals = self._lookup_masked(table[l], flat, shard)  # [N,8,F]
             cw, _ = self._corner_weights(w)
             feats.append(jnp.einsum("nc,ncf->nf", cw, vals) * mask[l])
-        return jnp.concatenate(feats, axis=-1)
+        out = jnp.concatenate(feats, axis=-1)
+        if shard is not None:
+            out = self._allreduce_features(out, shard[0])
+        return out
 
     def encode_with_grad(self, params, x, step=None, levels=None):
         """Features and their x-space Jacobian for levels in range.
@@ -216,6 +269,7 @@ class HashGridEncoding:
         table = params["table"]
         mask = self.level_mask(step if step is not None else 10 ** 9)
         lo, hi = self._level_range(levels, self.n_levels)
+        shard = self._shard_ctx()
         n = x.shape[0]
         feats, jxs, jys, jzs = [], [], [], []
         zero = jnp.zeros((n, self.n_features_per_level), x.dtype)
@@ -227,7 +281,7 @@ class HashGridEncoding:
                 jzs.append(zero)
                 continue
             w, flat = self._level_geometry(x, l)
-            vals = self._lookup(table[l], flat)  # [N,8,F]
+            vals = self._lookup_masked(table[l], flat, shard)  # [N,8,F]
             cw, dcw = self._corner_weights(w)
             m = mask[l]
             res = float(self.resolutions[l])
@@ -236,7 +290,10 @@ class HashGridEncoding:
             jys.append(jnp.einsum("nc,ncf->nf", dcw[..., 1], vals) * (m * res))
             jzs.append(jnp.einsum("nc,ncf->nf", dcw[..., 2], vals) * (m * res))
         cat = lambda xs: jnp.concatenate(xs, axis=-1)
-        return cat(feats), (cat(jxs), cat(jys), cat(jzs))
+        out = (cat(feats), (cat(jxs), cat(jys), cat(jzs)))
+        if shard is not None:
+            out = self._allreduce_features(out, shard[0])
+        return out
 
     def _encode_sorted_vjp(self, levels=None):
         """Encode with a custom first-order VJP.
@@ -314,6 +371,8 @@ class HashGridEncoding:
         level specialization: one recompile per opened band)."""
         table = params["table"]
         mask = self.level_mask(step if step is not None else 10 ** 9)
+        if grad_impl == "sorted" and self._shard_ctx() is not None:
+            grad_impl = "plain"  # sorted VJP assumes the full table
         if grad_impl == "sorted":
             key = self._level_range(levels, self.n_levels)
             cache = getattr(self, "_encode_vjp_cache", None)

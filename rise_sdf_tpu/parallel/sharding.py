@@ -16,11 +16,13 @@ keeps the mesh helpers and the stable ``make_sharded_train_step`` entry.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+from jax.sharding import PartitionSpec as P
 
 
 def initialize_distributed() -> bool:
@@ -63,12 +65,90 @@ def is_main_process() -> bool:
         return True
 
 
-def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+def get_mesh(n_devices: Optional[int] = None, devices=None,
+             table_shards: int = 1) -> Mesh:
+    """Device mesh.  1-D ``('data',)`` by default (pure data parallel);
+    with ``table_shards`` > 1, a 2-D ``('data', 'model')`` mesh whose
+    ``model`` axis shards the hash-table rows (tensor parallelism for
+    the encoding — see ``table_sharding``), laid out so the ``model``
+    axis rides contiguous (fastest) ICI neighbours."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), ("data",))
+    devices = np.asarray(devices)
+    if table_shards <= 1:
+        return Mesh(devices, ("data",))
+    assert devices.size % table_shards == 0, \
+        f"{devices.size} devices not divisible by table_shards={table_shards}"
+    return Mesh(devices.reshape(-1, table_shards), ("data", "model"))
+
+
+# --------------------------------------------------------------------- #
+# Hash-table tensor parallelism (the 'model' mesh axis).
+#
+# The multiresolution hash table is by far the largest parameter tensor
+# (L * 2^log2_hashmap_size * F: ~34 MB at the reference 2^19 config, but
+# GBs at the 2^22+ scales instant-ngp supports), and its optimizer state
+# triples that.  Sharding its *rows* over a 'model' axis is classic
+# embedding-table tensor parallelism: each device stores rows
+# [r*T/tp, (r+1)*T/tp), gathers the corners it owns (others contribute
+# zeros), and one psum over 'model' reassembles the interpolated
+# features.  The backward of that masked gather scatter-adds only into
+# the locally-owned rows, so table gradients (and Adam moments) stay
+# sharded end-to-end — table memory and scatter traffic scale 1/tp.
+# Rays are sharded over 'data' and replicated over 'model' (the psum is
+# the only cross-shard communication per encode).
+#
+# The context is ambient (set while *tracing* the per-device body inside
+# shard_map) rather than threaded through the model call chain: the same
+# encoding objects serve the single-device path, the occupancy-update
+# jit, and eval rendering, which all run with the full (replicated)
+# table and no collective.
+_TABLE_SHARD_CTX: Optional[tuple] = None
+
+
+@contextlib.contextmanager
+def table_sharding(axis: str, num_shards: int):
+    """Activate sharded-table encoding while tracing a shard_map body."""
+    global _TABLE_SHARD_CTX
+    prev = _TABLE_SHARD_CTX
+    _TABLE_SHARD_CTX = (axis, int(num_shards))
+    try:
+        yield
+    finally:
+        _TABLE_SHARD_CTX = prev
+
+
+def current_table_sharding() -> Optional[tuple]:
+    return _TABLE_SHARD_CTX
+
+
+def table_shard_count(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("model", 1))
+
+
+def data_shard_count(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(mesh.shape.get("data", 1))
+
+
+def table_specs(tree, axis: str = "model"):
+    """PartitionSpec tree for a params/opt-state pytree: hash-table
+    leaves (path key 'table', rank-3 [L, T, F]) shard their row axis
+    over ``axis``; everything else is replicated.  Optimizer states
+    mirror the param tree inside their moment pytrees, so the same rule
+    shards Adam's mu/nu alongside the table."""
+    def spec(path, leaf):
+        keys = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        if "table" in keys and getattr(leaf, "ndim", 0) == 3:
+            return P(None, axis, None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
 
 
 def make_sharded_train_step(system, mesh: Mesh, stage: Optional[int] = None):

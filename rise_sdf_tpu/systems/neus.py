@@ -196,12 +196,21 @@ class NeuSSystem(BaseSystem):
         ``levels``: static open-hash-level count — closed levels are
         compiled away (one recompile per opened band, ~11 per run).
         """
+        from ..parallel import (data_shard_count, table_shard_count,
+                                table_sharding, table_specs)
+
         tx = self.tx
-        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-        num_rays = max(self.train_num_rays // ndev, 1)
+        # rays/sample budgets split over 'data' only: with table
+        # sharding (a 2-D mesh), each 'model'-group device processes the
+        # same rays against its table-row shard (embedding-style tensor
+        # parallelism; one psum per encode reassembles features)
+        dp = data_shard_count(mesh)
+        tp = table_shard_count(mesh)
+        num_rays = max(self.train_num_rays // dp, 1)
         base_cap = self.capacity_prefiltered if prefilter else self.capacity
-        capacity = max(base_cap // ndev, 16)
+        capacity = max(base_cap // dp, 16)
         axis = "data" if mesh is not None else None
+        all_axes = ("data", "model") if tp > 1 else ("data",)
 
         def step_body(params, opt_state, occ_binary, step, rng, data):
             k_batch, k_model = jax.random.split(rng)
@@ -229,6 +238,12 @@ class NeuSSystem(BaseSystem):
             grads_ok = jnp.all(jnp.asarray([
                 jnp.all(jnp.isfinite(g))
                 for g in jax.tree_util.tree_leaves(grads)]))
+            if axis:
+                # the skip decision must be identical on every device
+                # (table-sharded grads differ per 'model' shard): a bad
+                # value anywhere skips the update everywhere
+                grads_ok = jax.lax.pmean(
+                    grads_ok.astype(jnp.float32), all_axes) == 1.0
             aux["skipped_nonfinite"] = 1.0 - grads_ok.astype(jnp.float32)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = jax.tree_util.tree_map(
@@ -259,16 +274,48 @@ class NeuSSystem(BaseSystem):
         from jax.sharding import PartitionSpec as P
 
         def per_device(params, opt_state, occ_binary, step, rngs, data):
+            if tp > 1:
+                # tracing-scoped: the encoding's lookups become
+                # shard-local masked gathers + one psum over 'model'
+                with table_sharding("model", tp):
+                    return step_body(params, opt_state, occ_binary, step,
+                                     rngs[0], data)
             return step_body(params, opt_state, occ_binary, step, rngs[0],
                              data)
 
-        sharded = shard_map(
-            per_device, mesh=mesh,
-            in_specs=(P(), P(), P(), P(), P("data"), P()),
-            out_specs=(P(), P(), P()), check_vma=False)
+        if tp == 1:
+            sharded = shard_map(
+                per_device, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P("data"), P()),
+                out_specs=(P(), P(), P()), check_vma=False)
 
+            @partial(jax.jit, donate_argnums=(0,))
+            def train_step(state, rngs, data):
+                params, opt_state, aux = sharded(
+                    state["params"], state["opt_state"], state["occ_binary"],
+                    state["step"], rngs, data)
+                return {
+                    "params": params, "opt_state": opt_state,
+                    "occs": state["occs"], "occ_binary": state["occ_binary"],
+                    "step": state["step"] + 1,
+                }, aux
+
+            return train_step
+
+        # 2-D (data, model) mesh: hash-table rows (and their Adam
+        # moments) shard over 'model'; the spec trees depend on the
+        # params/opt-state structure, so the shard_map is built at trace
+        # time from the live pytrees.  rngs is [dp, 2]: one key per data
+        # shard, replicated over 'model' so every device in a model
+        # group samples the same rays.
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state, rngs, data):
+            p_specs = table_specs(state["params"])
+            o_specs = table_specs(state["opt_state"])
+            sharded = shard_map(
+                per_device, mesh=mesh,
+                in_specs=(p_specs, o_specs, P(), P(), P("data"), P()),
+                out_specs=(p_specs, o_specs, P()), check_vma=False)
             params, opt_state, aux = sharded(
                 state["params"], state["opt_state"], state["occ_binary"],
                 state["step"], rngs, data)
@@ -290,10 +337,19 @@ class NeuSSystem(BaseSystem):
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
+        from ..parallel import table_shard_count, table_sharding, table_specs
+
+        tp = table_shard_count(mesh)
+
+        def tp_body(params, occ_binary, rays, step, *extra):
+            with table_sharding("model", tp):
+                return body(params, occ_binary, rays, step, *extra)
+
         def sharded(params, occ_binary, rays, step, *extra):
+            p_specs = table_specs(params) if tp > 1 else P()
             fn = shard_map(
-                body, mesh=mesh,
-                in_specs=(P(), P(), P("data"), P()) + tuple(
+                tp_body if tp > 1 else body, mesh=mesh,
+                in_specs=(p_specs, P(), P("data"), P()) + tuple(
                     P() for _ in extra),
                 out_specs=P("data"), check_vma=False)
             return fn(params, occ_binary, rays, step, *extra)
@@ -301,10 +357,14 @@ class NeuSSystem(BaseSystem):
         return jax.jit(sharded)
 
     def make_render_chunk(self, capacity=None, mesh=None):
+        from ..parallel import data_shard_count
+
         model = self.model
         cap = capacity or self.eval_capacity
-        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-        cap = max(cap // ndev, 16)
+        # rays (and the per-device sample budget) split over 'data' only;
+        # 'model'-axis devices render the same rays against their table
+        # shard (see make_train_step)
+        cap = max(cap // data_shard_count(mesh), 16)
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
 
@@ -409,7 +469,10 @@ class NeuSSystem(BaseSystem):
         train_split = self.datamodule.train()
         data = self.device_data(train_split)
         mesh = self.mesh
-        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
+        # one rng per *data* shard; 'model'-axis devices share their data
+        # shard's key (they must sample identical rays)
+        from ..parallel import data_shard_count
+        ndev = data_shard_count(mesh)
         step_fns = {}
         occ_update = self.occupancy_update_fn()
         # per-step keys via fold_in: the stream is a pure function of

@@ -95,10 +95,11 @@ class SplitOccSystem(NeuSSystem):
     def make_render_chunk(self, stage: int = 1, relighting: bool = False,
                           capacity=None, secondary_frac=None, vis_frac=None,
                           mesh=None):
+        from ..parallel import data_shard_count
+
         model = self.model
         cap = capacity or self.eval_capacity
-        ndev = int(np.prod(mesh.devices.shape)) if mesh is not None else 1
-        cap = max(cap // ndev, 16)
+        cap = max(cap // data_shard_count(mesh), 16)
         self._chunk_args = (stage, relighting)
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
