@@ -616,6 +616,7 @@ class NeuSSystem(BaseSystem):
         psnrs = []
         step = int(state["step"])
         for i in range(len(split)):
+            print(f"test view {i + 1}/{len(split)}", flush=True)
             out = self.render_image(state, split, i, render_chunk)
             h, w = split.h, split.w
             gt = np.asarray(split.all_images[i]).reshape(-1, 3)

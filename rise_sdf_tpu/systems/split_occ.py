@@ -357,6 +357,10 @@ class SplitOccSystem(NeuSSystem):
             relight_bases[light] = self.model.emitter.relight_params(p)["base"]
 
         for i in range(len(split)):
+            # per-view heartbeat: the full protocol renders each view
+            # several times (nvs/phys + one pass per relight env), which
+            # is minutes/view at 800^2 — external watchdogs need liveness
+            print(f"test view {i + 1}/{len(split)}", flush=True)
             out = self.render_image(state, split, i, render_chunk, stage)
             h, w = split.h, split.w
             gt = np.asarray(split.all_images[i]).reshape(-1, 3)
