@@ -79,14 +79,43 @@ class BaseSystem:
                 parts.append(str(p))
         return "/".join(parts)
 
-    def save_checkpoint(self, state, path: Optional[str] = None) -> str:
+    def save_checkpoint(self, state, path: Optional[str] = None,
+                        async_write: bool = False) -> str:
+        """Checkpoint ``state`` to ``path`` (atomically: tmp + rename, so
+        a kill mid-write can never corrupt an existing checkpoint — the
+        watchdog/auto-resume machinery depends on ``latest.ckpt.npz``
+        always being loadable).  ``async_write`` moves the serialization
+        + disk write to a background thread (the device→host transfer
+        stays synchronous); at production scale the file is ~270 MB, a
+        measurable slice of the train loop every save interval."""
         path = path or os.path.join(self.ckpt_dir,
                                     f"step_{int(state['step'])}.ckpt.npz")
         os.makedirs(os.path.dirname(path), exist_ok=True)
         flat, _ = jax.tree_util.tree_flatten_with_path(state)
-        np.savez(path, **{"k:" + self._path_str(p): np.asarray(l)
-                          for p, l in flat})
+        arrs = {"k:" + self._path_str(p): np.asarray(l) for p, l in flat}
+
+        def write():
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                np.savez(f, **arrs)
+            os.replace(tmp, path)
+
+        self.wait_checkpoint_writer()  # at most one writer in flight
+        if async_write:
+            import threading
+
+            self._ckpt_writer = threading.Thread(target=write, daemon=True)
+            self._ckpt_writer.start()
+        else:
+            write()
         return path
+
+    def wait_checkpoint_writer(self):
+        """Join a pending async checkpoint write (no-op if none)."""
+        t = getattr(self, "_ckpt_writer", None)
+        if t is not None:
+            t.join()
+            self._ckpt_writer = None
 
     def load_checkpoint(self, path: str, template_state):
         data = np.load(path)

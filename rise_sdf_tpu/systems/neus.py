@@ -574,8 +574,10 @@ class NeuSSystem(BaseSystem):
                           f"w={m['steps_per_sec_window']:.3f}",
                           flush=True)
             if save_every and step > 0 and step % save_every == 0:
+                # async: the ~270 MB serialization+write overlaps the
+                # next training steps (the device->host pull is sync)
                 self.save_checkpoint(state, os.path.join(
-                    self.ckpt_dir, "latest.ckpt.npz"))
+                    self.ckpt_dir, "latest.ckpt.npz"), async_write=True)
             if val_every and step > 0 and step % val_every == 0:
                 self.validate(state, n_images=1)
         self.save_checkpoint(state)

@@ -70,3 +70,35 @@ def test_weights_only_load(system, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(jax.tree_util.tree_leaves(restored["params"])[0]),
         np.asarray(jax.tree_util.tree_leaves(state["params"])[0]))
+
+
+def test_async_atomic_save_roundtrip(system, tmp_path):
+    """Async save produces a loadable checkpoint identical to the sync
+    one, via an atomic tmp+rename (no .tmp residue, no partial file)."""
+    state = system.init_state(0)
+    p_sync = system.save_checkpoint(state, str(tmp_path / "s.ckpt.npz"))
+    p_async = system.save_checkpoint(state, str(tmp_path / "a.ckpt.npz"),
+                                     async_write=True)
+    system.wait_checkpoint_writer()
+    assert not os.path.exists(p_async + ".tmp")
+    a, b = np.load(p_sync), np.load(p_async)
+    assert set(a.files) == set(b.files)
+    for k in a.files:
+        np.testing.assert_array_equal(a[k], b[k])
+    loaded = system.load_checkpoint(p_async, system.init_state(0))
+    for got, want in zip(jax.tree_util.tree_leaves(loaded),
+                         jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_overlapping_async_saves_serialize(system, tmp_path):
+    """A second save joins the in-flight writer first — the newest file
+    always wins and both are complete."""
+    state = system.init_state(0)
+    p = str(tmp_path / "latest.ckpt.npz")
+    system.save_checkpoint(state, p, async_write=True)
+    state2 = dict(state, step=state["step"] + 1)
+    system.save_checkpoint(state2, p, async_write=True)
+    system.wait_checkpoint_writer()
+    data = np.load(p)
+    assert int(data["k:step"]) == int(state["step"]) + 1
