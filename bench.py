@@ -7,13 +7,18 @@ production-scale hyperparameters (512^2 env light, 16-level 2^19 hash
 grid, 128^3 occupancy grid, 1024-sample marching) with an untrained
 model, no dataset required.
 
-Three protocols, all full 800^2 images with every chunk blocked:
+Protocols, all full 800^2 images with every chunk blocked:
 
   headline  converged-like scene: SOLID occupancy (interior cells stay
             occupied — the proven round-2 overflow regime), sharp
-            surface (inv_s ~ 800), transmittance-prefiltered marching at
-            the config's 64-samples/ray budget.  This is what eval
-            actually looks like at the end of training.
+            surface (inv_s ~ 800), BANDED transmittance-prefiltered
+            marching (samples restricted to the weight-mass band
+            [t_lo, t_cut)) at the config's eval_banded_samples_per_ray
+            budget.  This is what eval actually looks like at the end
+            of training.  Falls back to the cut-only protocol when
+            banding is disabled in the config.
+  cutonly   same scene, cut-only prefilter at eval_samples_per_ray
+            (the round-3 pre-band headline, for continuity).
   shell     legacy round-1/2 protocol (thin-shell occupancy, soft
             inv_s ~ 20, no prefilter) for cross-round continuity.
   nopf192   the round-2 workaround on the converged scene: no
@@ -81,7 +86,7 @@ def image_rays(w=800, h=800):
 
 
 def run_protocol(model, params, occ_binary, rays, *, step, capacity,
-                 prefilter, chunk, label):
+                 prefilter, chunk, label, banded=False):
     import jax
     import jax.numpy as jnp
 
@@ -93,7 +98,8 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
         out = model.forward(
             params, rays_chunk, occ_binary=occ_binary, mips=mips, step=step,
             rng=None, stage=1, train=False, capacity=capacity,
-            background_color=jnp.ones((3,)), prefilter=prefilter)
+            background_color=jnp.ones((3,)), prefilter=prefilter,
+            banded=banded)
         return out["comp_rgb_full"], out["ray_included"]
 
     t0 = time.time()
@@ -165,9 +171,19 @@ def main():
     solid = make_occupancy(model, "solid")
     shell = make_occupancy(model, "shell")
 
-    headline = run_protocol(
+    band_spr = int(cfg.model.get("eval_banded_samples_per_ray", 0))
+
+    cutonly = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
-        prefilter=True, chunk=chunk, label="headline solid+prefilter")
+        prefilter=True, chunk=chunk, label="cutonly solid+prefilter")
+    if band_spr > 0:
+        headline = run_protocol(
+            model, params_sharp, solid, rays, step=step,
+            capacity=chunk * band_spr, prefilter=True, banded=True,
+            chunk=chunk, label=f"headline banded {band_spr}spr")
+        mdesc = "banded prefiltered marching"
+    else:
+        headline, mdesc = cutonly, "prefiltered marching"
     legacy = run_protocol(
         model, params, shell, rays, step=step, capacity=chunk * spr,
         prefilter=False, chunk=chunk, label="legacy shell")
@@ -177,11 +193,12 @@ def main():
 
     out = {
         "metric": "rays/sec/chip at 800^2 split-sum PBR render "
-                  "(converged solid occupancy, prefiltered marching)",
+                  f"(converged solid occupancy, {mdesc})",
         "value": round(headline["rays_per_sec"], 1),
         "unit": "rays/s",
         "vs_baseline": None,
         "dropped_rays": headline["dropped_rays"],
+        "cut_only_rays_per_sec": round(cutonly["rays_per_sec"], 1),
         "legacy_shell_rays_per_sec": round(legacy["rays_per_sec"], 1),
         "no_prefilter_192spr_rays_per_sec": round(nopf["rays_per_sec"], 1),
     }

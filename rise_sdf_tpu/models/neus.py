@@ -160,7 +160,8 @@ class NeuSModel:
             if train else True
 
     def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
-                       levels=None, cos_anneal_ratio=1.0):
+                       levels=None, cos_anneal_ratio=1.0,
+                       band: bool = False):
         stride = int(self.config.get("prefilter_stride", 4))
         per_ray = int(self.config.get("prefilter_coarse_per_ray", 64))
         cap = rays_o.shape[0] * min(
@@ -177,31 +178,33 @@ class NeuSModel:
             stride=stride, cos_anneal_ratio=cos_anneal_ratio,
             early_stop_eps=volrend.EARLY_STOP_EPS,
             margin_intervals=float(
-                self.config.get("prefilter_margin_intervals", 1.0)))
+                self.config.get("prefilter_margin_intervals", 1.0)),
+            band=band)
 
     def forward(self, params, rays, *, occ_binary, step, rng=None,
                 train: bool = False, capacity: int, background_color,
-                levels=None, prefilter: bool = False):
+                levels=None, prefilter: bool = False, banded: bool = False):
         """rays [R,6] -> per-ray render dict. ``train``/``capacity``/
-        ``levels``/``prefilter`` static."""
+        ``levels``/``prefilter``/``banded`` static."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = None
         if rng is not None and self.randomized and train:
             rng, march_rng = jax.random.split(rng)
 
-        t_cut = None
+        t_cut = t_band_lo = None
         if prefilter and occ_binary is not None:
-            t_cut = self.visibility_cut(
+            vc = self.visibility_cut(
                 params, rays_o, rays_d, occ_binary, step, levels=levels,
-                cos_anneal_ratio=self.cos_anneal_ratio(step))
+                cos_anneal_ratio=self.cos_anneal_ratio(step), band=banded)
+            t_band_lo, t_cut = vc if banded else (None, vc)
 
         rs = march.march_rays(
             rays_o, rays_d, aabb_min=self.aabb_min, aabb_max=self.aabb_max,
             step_size=self.render_step_size,
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
-            rng=march_rng, t_cut=t_cut,
+            rng=march_rng, t_cut=t_cut, t_band_lo=t_band_lo,
             cone_angle=float(self.config.get("cone_angle", 0.0)),
         )
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)

@@ -202,8 +202,10 @@ class SplitMixedOccModel:
         return (step >= self.prefilter_start_step) if train else True
 
     def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
-                       levels=None, cos_anneal_ratio=1.0):
-        """Per-ray transmittance cut from the coarse SDF probe."""
+                       levels=None, cos_anneal_ratio=1.0,
+                       band: bool = False):
+        """Per-ray transmittance cut (or ``(t_lo, t_cut)`` band when
+        ``band=True``) from the coarse SDF probe."""
         n_rays = rays_o.shape[0]
         cap = n_rays * min(self.prefilter_coarse_per_ray,
                            max(self.num_samples_per_ray
@@ -220,20 +222,23 @@ class SplitMixedOccModel:
             stride=self.prefilter_stride,
             cos_anneal_ratio=cos_anneal_ratio,
             early_stop_eps=volrend.EARLY_STOP_EPS,
-            margin_intervals=self.prefilter_margin_intervals)
+            margin_intervals=self.prefilter_margin_intervals, band=band)
 
     def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
                 stage: int = 0, train: bool = False, relighting: bool = False,
                 capacity: int, background_color, levels=None,
                 secondary_frac=None, prefilter: bool = False,
-                vis_frac=None):
+                vis_frac=None, banded: bool = False):
         """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
-        levels/secondary_frac/prefilter/vis_frac static (``levels`` =
-        open hash levels; None = all; ``secondary_frac``/``vis_frac``
-        override the secondary-sample / texture-visibility compaction
-        budgets — e.g. the eval overflow fallback, or the derived
-        fractions from ``SplitOccSystem.calibrate_eval``; ``prefilter``
-        enables transmittance-aware marching)."""
+        levels/secondary_frac/prefilter/vis_frac/banded static
+        (``levels`` = open hash levels; None = all;
+        ``secondary_frac``/``vis_frac`` override the secondary-sample /
+        texture-visibility compaction budgets — e.g. the eval overflow
+        fallback, or the derived fractions from
+        ``SplitOccSystem.calibrate_eval``; ``prefilter`` enables
+        transmittance-aware marching; ``banded`` additionally restricts
+        eval samples to the probe's weight-mass band ``[t_lo, t_cut)``
+        so a much smaller ``capacity`` suffices)."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = laplace_rng = None
@@ -243,18 +248,19 @@ class SplitMixedOccModel:
             if self.randomized and train:
                 march_rng = k1
 
-        t_cut = None
+        t_cut = t_band_lo = None
         if prefilter and occ_binary is not None:
-            t_cut = self.visibility_cut(
+            vc = self.visibility_cut(
                 params, rays_o, rays_d, occ_binary, step, levels=levels,
-                cos_anneal_ratio=self.cos_anneal_ratio(step))
+                cos_anneal_ratio=self.cos_anneal_ratio(step), band=banded)
+            t_band_lo, t_cut = vc if banded else (None, vc)
 
         rs = march.march_rays(
             rays_o, rays_d, aabb_min=self.aabb_min, aabb_max=self.aabb_max,
             step_size=self.render_step_size,
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
-            rng=march_rng, t_cut=t_cut,
+            rng=march_rng, t_cut=t_cut, t_band_lo=t_band_lo,
             cone_angle=float(self.config.get("cone_angle", 0.0)))
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)
         dists = rs.t_ends - rs.t_starts

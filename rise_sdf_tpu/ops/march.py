@@ -131,6 +131,7 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
                near_plane: Optional[float] = None,
                far_plane: Optional[float] = None,
                t_cut: Optional[jnp.ndarray] = None,
+               t_band_lo: Optional[jnp.ndarray] = None,
                cone_angle: float = 0.0,
                dt_max: float = 1e10) -> RaySamples:
     """Occupancy-pruned marching, compacted to a fixed-size buffer.
@@ -142,6 +143,14 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
     prefilter + early termination during marching (reference
     ``models/split_mixed_occ.py:264-272``,
     ``lib/nerfacc/vol_rendering.py:453-520``).
+
+    ``t_band_lo`` ([R], optional) additionally drops candidates *before*
+    that distance — the banded surface-eval mode: with a converged sharp
+    surface the NeuS weight mass lives in a thin band ending at
+    ``t_cut``, so eval restricts samples to ``[t_band_lo, t_cut)`` and a
+    much smaller ``capacity`` suffices.  Rays without a finite cut
+    (background / semi-transparent) pass ``-inf`` and keep the full
+    candidate set.
     """
     n_rays = rays_o.shape[0]
     t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
@@ -152,6 +161,8 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
     t_mid = 0.5 * (t_starts + t_ends)
     if t_cut is not None:
         live = live & (t_mid < t_cut[:, None])
+    if t_band_lo is not None:
+        live = live & (t_mid >= t_band_lo[:, None])
     if grid_binary is not None:
         pos = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
         occ = occupancy_lookup(grid_binary, pos, aabb_min, aabb_max,
@@ -196,7 +207,8 @@ def compute_visibility_cut(rays_o, rays_d, *, sdf_fn, inv_s, aabb_min,
                            grid_binary=None, grid_resolution=128,
                            stride: int = 4, cos_anneal_ratio=1.0,
                            early_stop_eps: float = 1e-4,
-                           margin_intervals: float = 1.0):
+                           margin_intervals: float = 1.0,
+                           band: bool = False):
     """Per-ray transmittance cut distance from a cheap coarse SDF probe.
 
     TPU-native equivalent of the reference marcher's ``alpha_fn``
@@ -214,7 +226,9 @@ def compute_visibility_cut(rays_o, rays_d, *, sdf_fn, inv_s, aabb_min,
     ray whose probes overflow ``capacity`` (or that never saturates)
     gets +inf, i.e. no cut.
 
-    Returns ``t_cut`` [R] for :func:`march_rays`'s ``t_cut`` argument.
+    Returns ``t_cut`` [R] for :func:`march_rays`'s ``t_cut`` argument —
+    or, with ``band=True``, the ``(t_lo, t_cut)`` weight-mass band
+    (see :func:`volrend.transmittance_band`) for banded surface eval.
     """
     from . import volrend
     from ..models.neus import neus_alpha
@@ -251,6 +265,11 @@ def compute_visibility_cut(rays_o, rays_d, *, sdf_fn, inv_s, aabb_min,
 
     alpha = neus_alpha(sdf, inv_s, cos, rs.t_ends - rs.t_starts,
                        cos_anneal_ratio)
+    if band:
+        return volrend.transmittance_band(
+            alpha, rs.t_starts, rs.ray_start, rs.ray_indices, rs.valid,
+            n_rays, early_stop_eps=early_stop_eps,
+            margin=margin_intervals * coarse_step)
     return volrend.transmittance_cut(
         alpha, rs.t_starts, rs.ray_start, rs.ray_indices, rs.valid, n_rays,
         early_stop_eps=early_stop_eps, margin=margin_intervals * coarse_step)

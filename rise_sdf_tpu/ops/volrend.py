@@ -90,6 +90,43 @@ def transmittance_cut(alphas, t_starts, ray_start, ray_indices, valid,
     return jnp.minimum(cut + margin, inf)
 
 
+def transmittance_band(alphas, t_starts, ray_start, ray_indices, valid,
+                       n_rays: int, early_stop_eps: float = EARLY_STOP_EPS,
+                       enter_eps: Optional[float] = None,
+                       margin: float = 0.0):
+    """Per-ray weight-mass band ``[t_lo, t_cut)`` from a coarse probe.
+
+    Extends :func:`transmittance_cut` with the band *entry*: ``t_lo`` is
+    the ``t_start`` of the first probe whose render weight
+    (``T * alpha``) exceeds ``enter_eps`` (default ``early_stop_eps``),
+    minus ``margin``.  Probes before it each contribute < ``enter_eps``
+    per channel, so with a sharp converged surface the whole visible
+    weight mass of the fine grid lives inside the band and eval can
+    march with a far smaller sample capacity (banded surface eval).
+    Rays that never enter (background / all-transparent) get
+    ``t_lo = -inf`` — no lower constraint; the ``t_cut`` half matches
+    :func:`transmittance_cut` exactly.
+
+    Returns ``(t_lo [R], t_cut [R])`` for :func:`march_rays`'s
+    ``t_band_lo`` / ``t_cut`` arguments.
+    """
+    weights, trans = render_weight_from_alpha(alphas, ray_start,
+                                              ray_indices, valid, n_rays)
+    inf = jnp.asarray(1e10, t_starts.dtype)
+    idx = jnp.minimum(ray_indices, n_rays)
+    crossed_t = jnp.where(valid & (trans < early_stop_eps), t_starts, inf)
+    cut = jax.ops.segment_min(crossed_t, idx, num_segments=n_rays + 1,
+                              indices_are_sorted=True)[:n_rays]
+    cut = jnp.minimum(cut + margin, inf)
+
+    ee = early_stop_eps if enter_eps is None else enter_eps
+    entered_t = jnp.where(valid & (weights > ee), t_starts, inf)
+    lo = jax.ops.segment_min(entered_t, idx, num_segments=n_rays + 1,
+                             indices_are_sorted=True)[:n_rays]
+    lo = jnp.where(lo >= inf, -inf, lo - margin)
+    return lo, cut
+
+
 def accumulate_along_rays(weights, ray_indices, values: Optional[jnp.ndarray],
                           n_rays: int):
     """Σ_i w_i * v_i per ray. values: [C, D] or None (opacity)."""

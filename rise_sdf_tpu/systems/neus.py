@@ -47,6 +47,12 @@ class NeuSSystem(BaseSystem):
         self.eval_chunk = int(mc.get("ray_chunk", 4096))
         self.eval_capacity = self.eval_chunk * int(
             mc.get("eval_samples_per_ray", 128))
+        # banded surface eval: with the visibility prefilter's coarse
+        # probe returning the weight-mass band [t_lo, t_cut), eval can
+        # march with this many samples/ray instead of
+        # eval_samples_per_ray (0 = off); the 2x/4x overflow ladder
+        # still guards band misestimates
+        self.eval_band_spr = int(mc.get("eval_banded_samples_per_ray", 0))
         self.grid_prune = bool(mc.get("grid_prune", True))
         self.background_color_mode = mc.get("background_color", "random")
         self.bg_srgb = False  # split system composites bg in sRGB space
@@ -360,19 +366,22 @@ class NeuSSystem(BaseSystem):
         from ..parallel import data_shard_count
 
         model = self.model
-        cap = capacity or self.eval_capacity
+        pf = model.prefilter_on(0, train=False) \
+            if hasattr(model, "prefilter_on") else False
+        banded = bool(pf and self.eval_band_spr > 0)
+        base_cap = capacity or (self.eval_chunk * self.eval_band_spr
+                                if banded else self.eval_capacity)
         # rays (and the per-device sample budget) split over 'data' only;
         # 'model'-axis devices render the same rays against their table
         # shard (see make_train_step)
-        cap = max(cap // data_shard_count(mesh), 16)
-        pf = model.prefilter_on(0, train=False) \
-            if hasattr(model, "prefilter_on") else False
+        cap = max(base_cap // data_shard_count(mesh), 16)
 
         def body(params, occ_binary, rays, step):
             out = model.forward(
                 params, rays, occ_binary=occ_binary, step=step, rng=None,
                 train=False, capacity=cap,
-                background_color=jnp.ones((3,)), prefilter=pf)
+                background_color=jnp.ones((3,)), prefilter=pf,
+                banded=banded)
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "ray_included"]
             return {k: out[k] for k in keep if k in out}
@@ -450,6 +459,9 @@ class NeuSSystem(BaseSystem):
                       flush=True)
 
     def _make_fallback_chunk(self, render_chunk, mult: int = 2):
+        # escalation is always relative to the FULL eval capacity, even
+        # for a banded/starved base chunk: overflow is the rare
+        # correctness path, so jump straight to budgets proven to fit
         return self.make_render_chunk(capacity=self.eval_capacity * mult)
 
     # ------------------------------------------------------------------ #

@@ -98,11 +98,18 @@ class SplitOccSystem(NeuSSystem):
         from ..parallel import data_shard_count
 
         model = self.model
-        cap = capacity or self.eval_capacity
-        cap = max(cap // data_shard_count(mesh), 16)
-        self._chunk_args = (stage, relighting)
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
+        banded = bool(pf and self.eval_band_spr > 0)
+        base_cap = capacity or (self.eval_chunk * self.eval_band_spr
+                                if banded else self.eval_capacity)
+        cap = max(base_cap // data_shard_count(mesh), 16)
+        self._chunk_args = (stage, relighting)
+        if banded:
+            # the band IS the texture-stage visibility compaction —
+            # a weight-threshold recut of the small banded buffer would
+            # re-apply calibrate_eval fractions sized for the full one
+            vis_frac = 1.0
 
         def body(params, occ_binary, rays, step, mips):
             out = model.forward(
@@ -110,7 +117,8 @@ class SplitOccSystem(NeuSSystem):
                 rng=None, stage=stage, train=False, relighting=relighting,
                 capacity=cap, secondary_frac=secondary_frac,
                 vis_frac=vis_frac,
-                background_color=jnp.ones((3,)), prefilter=pf)
+                background_color=jnp.ones((3,)), prefilter=pf,
+                banded=banded)
             keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
                     "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
                     "ray_included"]

@@ -17,6 +17,7 @@ from rise_sdf_tpu.ops.march import compute_visibility_cut, march_rays
 from rise_sdf_tpu.ops.volrend import (
     render_visibility,
     render_weight_from_alpha_dense,
+    transmittance_band,
     transmittance_cut,
 )
 from rise_sdf_tpu.presets import tiny_split_config
@@ -50,6 +51,24 @@ def test_transmittance_cut_prefix():
                             2, early_stop_eps=1e-4, margin=0.0)
     assert np.isclose(float(cut[0]), 2.0)
     assert float(cut[1]) > 1e9  # no saturation -> +inf, no cut
+
+
+def test_transmittance_band_entry_and_cut():
+    """Band entry at the first weight > eps probe; cut as in
+    transmittance_cut; background rays unconstrained."""
+    # ray 0: empty approach, surface at t=2, opaque wall at t=3
+    # ray 1: fully transparent (background)
+    alphas = jnp.array([0.0, 0.0, 0.9, 0.99999, 0.1, 0.0, 0.0])
+    t_starts = jnp.array([0.0, 1.0, 2.0, 3.0, 4.0, 0.0, 1.0])
+    ray_indices = jnp.array([0, 0, 0, 0, 0, 1, 1], jnp.int32)
+    ray_start = jnp.array([0, 5], jnp.int32)
+    valid = jnp.ones((7,), bool)
+    lo, cut = transmittance_band(alphas, t_starts, ray_start, ray_indices,
+                                 valid, 2, early_stop_eps=1e-4, margin=0.5)
+    assert np.isclose(float(lo[0]), 2.0 - 0.5)
+    assert np.isclose(float(cut[0]), 4.0 + 0.5)  # T before t=4 is 1e-6
+    assert float(lo[1]) < -1e9  # background: no lower constraint
+    assert float(cut[1]) > 1e9
 
 
 def _sphere_rays(n_rays=32):
@@ -146,6 +165,142 @@ def test_cut_fixes_capacity_overflow():
         "prefiltered march still overflowed"
     # the surviving samples still cover the visible surface band
     assert int(rs_cut.num_live) > n_rays * 4
+
+
+def test_band_vs_dense_oracle_solid_sphere():
+    """The banded probe keeps the full visible weight mass while
+    dropping both the empty approach and the occluded interior — a
+    solid sphere's in-band sample count is a small fraction of the
+    occupancy-live count."""
+    n_rays, s = 32, 512
+    radius, inv_s = 0.5, 800.0
+    step = float(3.0 * jnp.sqrt(3.0) / s)
+    o, d = _sphere_rays(n_rays)
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - radius
+
+    lo, cut = compute_visibility_cut(
+        o, d, sdf_fn=sdf_fn, inv_s=inv_s, aabb_min=AABB_MIN,
+        aabb_max=AABB_MAX, step_size=step, num_samples=s,
+        capacity=n_rays * 128, grid_binary=None, stride=4,
+        early_stop_eps=1e-4, margin_intervals=1.0, band=True)
+    assert bool(jnp.all(lo < cut))
+
+    from rise_sdf_tpu.ops.march import candidate_intervals, ray_aabb_intersect
+    tn, tf = ray_aabb_intersect(o, d, AABB_MIN, AABB_MAX)
+    ts, te, live = candidate_intervals(o, d, tn, tf, step, s)
+    tm = 0.5 * (ts + te)
+    pos = o[:, None, :] + d[:, None, :] * tm[..., None]
+    sdf = jnp.linalg.norm(pos, axis=-1) - radius
+    normal = pos / jnp.maximum(jnp.linalg.norm(pos, axis=-1, keepdims=True),
+                               1e-9)
+    cos = jnp.sum(d[:, None, :] * normal, -1)
+    alpha = jnp.where(live, neus_alpha(sdf, inv_s, cos, te - ts, 1.0), 0.0)
+    w, _ = render_weight_from_alpha_dense(alpha, live)
+
+    in_band = live & (tm >= lo[:, None]) & (tm < cut[:, None])
+    # (a) conservative: all weight mass outside the band is negligible.
+    # neus_alpha's (p+1e-5)/(c+1e-5) stabilizer (reference
+    # models/neus.py:128-150) puts a ~1e-5 alpha floor on every empty
+    # sample, so the band unavoidably drops ~1e-5 x approach-length of
+    # floor mass (~1e-3/channel here, invisible); surface mass must
+    # all be inside.
+    missed = jnp.where(~in_band, w, 0.0).sum(1)
+    assert float(missed.max()) < 2e-3
+    # (b) effective: the band is small vs the live candidate set
+    assert int(in_band.sum()) < 0.25 * int(live.sum())
+
+
+def test_model_banded_eval_small_capacity_parity():
+    """Banded eval (prefilter + [t_lo, t_cut) band) matches the
+    full-budget render at a fraction of the sample capacity that the
+    plain *prefiltered* march cannot fit (it keeps the empty approach
+    region; the band drops it)."""
+    cfg = tiny_split_config()
+    cfg["model"]["variance"]["init_val"] = 0.7  # inv_s ~ 1097
+    # fine marching grid so the empty-approach region dominates the
+    # live count (the production regime: ~170 approach vs ~20 band
+    # samples per central ray)
+    cfg["model"]["num_samples_per_ray"] = 256
+    model_pf = models.make(cfg.model.name, {
+        **{k: cfg.model[k] for k in cfg.model},
+        "visibility_prefilter": True, "prefilter_stride": 4,
+        "prefilter_margin_intervals": 1.0})
+    model = models.make(cfg.model.name, cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    res = model.grid_resolution
+    occ = jnp.ones((res ** 3,), bool)
+    n_rays = 32
+    o, d = _sphere_rays(n_rays)
+    rays = jnp.concatenate([o, d], -1)
+    mips = model.emitter.build_mips(params["emitter"])
+    step = jnp.asarray(20, jnp.int32)
+
+    big = model.forward(params, rays, occ_binary=occ, mips=mips, step=step,
+                        rng=None, stage=1, train=False, capacity=8192,
+                        background_color=jnp.ones((3,)))
+    assert bool(big["ray_included"].all())
+    cap = 768  # 24 samples/ray
+    small_cut_only = model_pf.forward(
+        params, rays, occ_binary=occ, mips=mips, step=step, rng=None,
+        stage=1, train=False, capacity=cap,
+        background_color=jnp.ones((3,)), prefilter=True)
+    assert not bool(small_cut_only["ray_included"].all()), \
+        "test setup: the cut-only prefilter should overflow this budget"
+    banded = model_pf.forward(
+        params, rays, occ_binary=occ, mips=mips, step=step, rng=None,
+        stage=1, train=False, capacity=cap,
+        background_color=jnp.ones((3,)), prefilter=True, banded=True)
+    assert bool(banded["ray_included"].all()), \
+        "banded eval did not fit the small budget"
+    # depth gets a slightly looser bound: dropping the ~1e-5
+    # alpha-floor mass (see the oracle test) shifts the weighted-t
+    # accumulation by ~0.2% relative on grazing rays
+    for k, atol in (("comp_rgb_full", 5e-3), ("opacity", 5e-3),
+                    ("depth", 1.2e-2)):
+        np.testing.assert_allclose(np.asarray(banded[k]),
+                                   np.asarray(big[k]), atol=atol,
+                                   err_msg=k)
+
+
+def test_system_banded_render_chunk_wiring(tmp_path):
+    """``eval_banded_samples_per_ray`` in the config makes
+    ``make_render_chunk`` build a banded chunk (24/ray here vs the
+    256/ray full budget) that reproduces the full render."""
+    from rise_sdf_tpu import datasets, systems
+
+    def mk(band):
+        cfg = tiny_split_config()
+        cfg["model"]["variance"]["init_val"] = 0.7
+        cfg["model"]["num_samples_per_ray"] = 256
+        cfg["model"]["eval_samples_per_ray"] = 256
+        cfg["model"]["ray_chunk"] = 32
+        cfg["model"]["visibility_prefilter"] = True
+        if band:
+            cfg["model"]["eval_banded_samples_per_ray"] = 24
+        dm = datasets.make(cfg.dataset.name, cfg.dataset)
+        return systems.make(cfg.system.name, cfg, dm, save_dir=str(tmp_path))
+
+    sys_f, sys_b = mk(False), mk(True)
+    state = sys_f.init_state()
+    occ = jnp.ones_like(state["occ_binary"])
+    o, d = _sphere_rays(32)
+    rays = jnp.concatenate([o, d], -1)
+    step = jnp.asarray(20, jnp.int32)
+    mips = sys_f.model.emitter.build_mips(state["params"]["emitter"])
+
+    full = sys_f.make_render_chunk(stage=1)(
+        state["params"], occ, rays, step, mips)
+    banded = sys_b.make_render_chunk(stage=1)(
+        state["params"], occ, rays, step, mips)
+    assert bool(full["ray_included"].all())
+    assert bool(banded["ray_included"].all())
+    for k, atol in (("comp_rgb_full", 5e-3), ("opacity", 5e-3),
+                    ("depth", 1.2e-2)):
+        np.testing.assert_allclose(np.asarray(banded[k]),
+                                   np.asarray(full[k]), atol=atol,
+                                   err_msg=k)
 
 
 def test_model_prefilter_plumbing_noop_when_transparent():
