@@ -171,14 +171,10 @@ class HashGridEncoding:
         return vals * valid[..., None].astype(vals.dtype)
 
     # ------------------------------------------------------------------ #
-    def _corner_indices(self, i0: jnp.ndarray, level: int) -> jnp.ndarray:
-        """Flat table indices for the 8 corners. i0: [N, 3] int32."""
+    def _flat_index(self, idx3: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Integer grid points [..., 3] -> flat table rows (clipped to the
+        level's grid; dense indexing or instant-ngp hash)."""
         res = int(self.resolutions[level])
-        corners = jnp.asarray(
-            [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
-            dtype=jnp.int32,
-        )  # [8,3]
-        idx3 = i0[:, None, :] + corners[None, :, :]  # [N,8,3]
         idx3 = jnp.clip(idx3, 0, res)  # grid has res+1 points per axis
         if self.dense[level]:
             stride = res + 1
@@ -188,7 +184,15 @@ class HashGridEncoding:
             h = h ^ (idx3[..., 1].astype(jnp.uint32) * jnp.uint32(_PRIMES[1]))
             h = h ^ (idx3[..., 2].astype(jnp.uint32) * jnp.uint32(_PRIMES[2]))
             flat = (h & jnp.uint32(self.table_size - 1)).astype(jnp.int32)
-        return flat.astype(jnp.int32)  # [N,8]
+        return flat.astype(jnp.int32)
+
+    def _corner_indices(self, i0: jnp.ndarray, level: int) -> jnp.ndarray:
+        """Flat table indices for the 8 corners. i0: [N, 3] int32."""
+        corners = jnp.asarray(
+            [[cx, cy, cz] for cx in (0, 1) for cy in (0, 1) for cz in (0, 1)],
+            dtype=jnp.int32,
+        )  # [8,3]
+        return self._flat_index(i0[:, None, :] + corners[None, :, :], level)
 
     def _corner_weights(self, w):
         """[N,3] frac -> ([N,8] trilinear weights, [N,8,3] d(w)/d(frac)).
@@ -249,6 +253,112 @@ class HashGridEncoding:
             vals = self._lookup_masked(table[l], flat, shard)  # [N,8,F]
             cw, _ = self._corner_weights(w)
             feats.append(jnp.einsum("nc,ncf->nf", cw, vals) * mask[l])
+        out = jnp.concatenate(feats, axis=-1)
+        if shard is not None:
+            out = self._allreduce_features(out, shard[0])
+        return out
+
+    # 32-point "plus" neighborhood for axis-aligned FD probes: the 8 base
+    # cell corners plus, per axis, the 8 points one cell before/after
+    # (positions -1 and 2 on that axis, base {0,1} on the others).  A
+    # central-difference probe displaces exactly one axis by <= 1 cell,
+    # so base + 6 probes' 56 corner rows all live inside these 32.
+    _OFF32 = None
+
+    @classmethod
+    def _off32(cls):
+        if cls._OFF32 is None:
+            off = [[a, b, c] for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+            for axis in range(3):
+                for e in (-1, 2):
+                    for o1 in (0, 1):
+                        for o2 in (0, 1):
+                            p = [0, 0, 0]
+                            others = [a for a in range(3) if a != axis]
+                            p[axis] = e
+                            p[others[0]] = o1
+                            p[others[1]] = o2
+                            off.append(p)
+            cls._OFF32 = np.asarray(off, np.int32)  # [32, 3]
+        return cls._OFF32
+
+    @staticmethod
+    def _outer8(wx, wy, wz):
+        """[N,2]x3 axis weights -> [N,8] corner weights (x-major, matching
+        ``_corner_indices`` / ``_off32`` base-block order)."""
+        n = wx.shape[0]
+        return (wx[:, :, None, None] * wy[:, None, :, None]
+                * wz[:, None, None, :]).reshape(n, 8)
+
+    def encode_axis_probes(self, params, u, u_probes, probe_axes,
+                           step=None, levels=None):
+        """Fused encode of a base point + axis-aligned FD probes.
+
+        ``u``: [N,3] base positions in [0,1]^3; ``u_probes``: [P,N,3],
+        probe ``p`` differs from ``u`` only along static axis
+        ``probe_axes[p]`` by at most one cell of every level in range
+        (the hybrid-FD fine band guarantees this: the progressive eps is
+        the finest open cell).  Instead of (P+1) x 8 corner gathers per
+        level (56 rows for central-6), gathers the shared 32-point
+        "plus" neighborhood once and reconstructs every probe's
+        trilinear interpolation as a [P+1, 32] weight contraction —
+        a 43% cut of both the forward gather rows and the backward
+        scatter-add rows, replacing them with trivial VPU MACs.
+
+        Returns [P+1, N, L*F] (base first), equal to stacking
+        ``apply`` on each point (up to fp reduction order).
+        """
+        table = params["table"]
+        mask = self.level_mask(step if step is not None else 10 ** 9)
+        lo, hi = self._level_range(levels, self.n_levels)
+        shard = self._shard_ctx()
+        p_n, n = len(probe_axes), u.shape[0]
+        assert u_probes.shape[0] == p_n
+        off32 = jnp.asarray(self._off32())
+        feats = []
+        zero = None
+        for l in range(self.n_levels):
+            if l < lo or l >= hi:
+                if zero is None:
+                    zero = jnp.zeros((p_n + 1, n, self.n_features_per_level),
+                                     u.dtype)
+                feats.append(zero)
+                continue
+            res = int(self.resolutions[l])
+            pos = u * res
+            i0 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, res - 1)
+            f = pos - i0
+            w2 = [jnp.stack([1.0 - f[:, a], f[:, a]], -1) for a in range(3)]
+
+            zero8 = jnp.zeros((n, 8), u.dtype)
+            # base point touches only the base block of the 32
+            rows = [jnp.concatenate([self._outer8(*w2),
+                                     zero8, zero8, zero8], -1)]
+            for p, axis in enumerate(probe_axes):
+                pa = u_probes[p, :, axis] * res
+                i0p = jnp.clip(jnp.floor(pa).astype(jnp.int32), 0, res - 1)
+                fp = pa - i0p
+                ox = i0p - i0[:, axis]  # in {-1, 0, 1} by the eps contract
+                # probe axis weights over neighborhood positions
+                # [-1, 0, 1, 2]: (1-fp) at ox, fp at ox+1
+                pos4 = jnp.arange(4, dtype=jnp.int32)[None]
+                w4 = ((pos4 == (ox[:, None] + 1)) * (1.0 - fp[:, None])
+                      + (pos4 == (ox[:, None] + 2)) * fp[:, None])
+                wb = list(w2)
+                wb[axis] = w4[:, 1:3]  # base-grid share of the probe
+                ext_w = w4[:, jnp.asarray([0, 3])]  # positions -1 and 2
+                others = [a for a in range(3) if a != axis]
+                # ext block order matches _off32: e-major, then the two
+                # remaining axes in ascending order
+                ext = self._outer8(ext_w, w2[others[0]], w2[others[1]])
+                blocks = [self._outer8(*wb), zero8, zero8, zero8]
+                blocks[1 + axis] = ext
+                rows.append(jnp.concatenate(blocks, -1))
+            w32 = jnp.stack(rows)  # [P+1, N, 32]
+
+            flat = self._flat_index(i0[:, None, :] + off32[None], l)
+            vals = self._lookup_masked(table[l], flat, shard)  # [N,32,F]
+            feats.append(jnp.einsum("pnk,nkf->pnf", w32, vals) * mask[l])
         out = jnp.concatenate(feats, axis=-1)
         if shard is not None:
             out = self._allreduce_features(out, shard[0])
