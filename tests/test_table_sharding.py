@@ -107,6 +107,52 @@ def test_sharded_encode_with_grad_matches(enc_setup):
                                    rtol=1e-5, atol=1e-6)
 
 
+def _axis_probes(x, eps):
+    axes = (0, 0, 1, 1, 2, 2)
+    signs = (1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+    probes = []
+    for axis, sign in zip(axes, signs):
+        xp = np.asarray(x).copy()
+        xp[:, axis] = np.clip(xp[:, axis] + sign * eps, 0.0, 1.0)
+        probes.append(xp)
+    return axes, jnp.asarray(np.stack(probes))
+
+
+def test_sharded_axis_probe_encode_matches(enc_setup):
+    """The fused 32-point probe encode under table sharding: each device
+    masked-gathers the neighborhood rows it owns; one psum reassembles
+    the [P+1, N, L*F] features (and grads flow back to the owned rows
+    only)."""
+    enc, params, x = enc_setup
+    axes, xp = _axis_probes(x, 1.0 / float(enc.resolutions[-1]))
+    want = np.asarray(enc.encode_axis_probes(params, x, xp, axes))
+    g = jax.random.normal(jax.random.PRNGKey(3), want.shape)
+
+    def loss_plain(table):
+        return jnp.sum(enc.encode_axis_probes({"table": table}, x, xp, axes)
+                       * g)
+
+    gw = np.asarray(jax.grad(loss_plain)(params["table"]))
+    mesh = tp_mesh()
+
+    def body(table, xs, xps):
+        def loss(t):
+            with table_sharding("model", TP):
+                return jnp.sum(
+                    enc.encode_axis_probes({"table": t}, xs, xps, axes) * g)
+
+        with table_sharding("model", TP):
+            f = enc.encode_axis_probes({"table": table}, xs, xps, axes)
+        return f, jax.grad(loss)(table)
+
+    f, gt = shard_map(
+        body, mesh=mesh, in_specs=(P(None, "model", None), P(), P()),
+        out_specs=(P(), P(None, "model", None)),
+        check_vma=False)(params["table"], x, xp)
+    np.testing.assert_allclose(np.asarray(f), want, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(gt), gw, rtol=1e-5, atol=1e-7)
+
+
 def test_table_specs_marks_only_tables(enc_setup):
     enc, params, _ = enc_setup
     import optax
