@@ -64,6 +64,13 @@ class SplitMixedOccModel:
         self.prefilter_start_step = int(
             config.get("prefilter_start_step",
                        config.get("split_sum_kick_in_step", 0)))
+        # sphere-traced fast eval (forward_surface): opt-in via
+        # eval_mode: sphere_trace; parameters of ops/sphere_trace.py
+        self.eval_mode = str(config.get("eval_mode", "volume"))
+        self.st_iters = int(config.get("sphere_trace_iters", 48))
+        self.st_refine = int(config.get("sphere_trace_refine_iters", 4))
+        self.st_hit_eps = float(config.get("sphere_trace_hit_eps", 1e-3))
+        self.st_relax = float(config.get("sphere_trace_relax", 0.9))
         self.cos_anneal_end = int(config.get("cos_anneal_end", 0))
         self.randomized = bool(config.get("randomized", True))
         self.split_sum_kick_in_step = int(config.get("split_sum_kick_in_step", 0))
@@ -190,6 +197,64 @@ class SplitMixedOccModel:
         return jax.lax.stop_gradient(jnp.clip(1.0 - acc, 0.0, 1.0)), \
             jax.lax.stop_gradient(depth), included, \
             live.sum().astype(jnp.int32)
+
+    def _apply_secondary(self, params, rays_o, rays_d, occ_binary, step, *,
+                         levels, secondary_frac, stage, relighting, mips,
+                         normal_map, depth_map, acc_map, maps, included):
+        """Secondary occlusion / indirect radiance blend, shared by the
+        volumetric ``forward`` and the sphere-traced ``forward_surface``
+        (both produce per-ray surface maps by this point).  ``maps``
+        holds spec_rgb (+ stage-1 spec_rgb_pbr/spec_ref/spec_light/
+        roughness); returns the updated maps, the overflow-aware
+        ``ray_included`` and the live secondary-sample count."""
+        sec_valid = acc_map[:, 0] > 0.5
+        if not self.indirect_pred:
+            return maps, included, jnp.zeros((), jnp.int32)
+        sec_o = rays_o + depth_map * rays_d
+        wo = -rays_d
+        sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
+            * normal_map - wo
+        tr, sec_depth, sec_inc, sec_live = self.compute_indirect_radiance(
+            params, sec_o, sec_d, occ_binary, step, levels=levels,
+            frac=secondary_frac)
+        # secondary-compaction overflow only matters where the
+        # secondary result is actually blended in
+        included = included & (sec_inc | ~sec_valid)
+        sec_geo = self.geometry.forward(
+            params["geometry"], sec_o, step, with_grad=False,
+            with_feature=True, levels=levels)
+        sec_rgb = self.texture.secondary_shading(
+            params["texture"], sec_geo["feature"], sec_d, normal_map,
+            step=step)
+        mask = sec_valid[:, None]
+        maps = dict(maps)
+        maps["spec_rgb"] = jnp.where(
+            mask, tr * maps["spec_rgb"] + (1 - tr) * sec_rgb,
+            maps["spec_rgb"])
+        if stage != 0:
+            if not relighting:
+                maps["spec_rgb_pbr"] = jnp.where(
+                    mask, tr * maps["spec_rgb_pbr"] + (1 - tr) * sec_rgb,
+                    maps["spec_rgb_pbr"])
+            else:
+                # third mirror bounce for glossy points (reference :323-332)
+                rough_mask = mask & (maps["roughness"]
+                                     <= self.relighting_threshold)
+                third_o = sec_o + sec_depth * sec_d
+                tg = self.geometry.forward(
+                    params["geometry"], third_o, step, with_grad=True,
+                    with_feature=True, grad_mode="analytic",
+                    levels=levels)
+                third_normal = _normalize(tg["grad"])
+                third_rgb = self.texture.secondary_shading_pbr(
+                    params["texture"], tg["feature"], sec_d, third_normal,
+                    third_o, self.emitter, mips, step=step)
+                maps["spec_light"] = jnp.where(
+                    rough_mask,
+                    tr * maps["spec_light"] + (1 - tr) * third_rgb,
+                    maps["spec_light"])
+                maps["spec_rgb_pbr"] = maps["spec_ref"] * maps["spec_light"]
+        return maps, included, sec_live
 
     # ------------------------------------------------------------------ #
     def prefilter_on(self, step: int, train: bool = True) -> bool:
@@ -359,50 +424,21 @@ class SplitMixedOccModel:
         norm_orient_map = take(1)
 
         # ---- secondary occlusion / indirect pass (masked full-width) ---- #
-        sec_valid = acc_map[:, 0] > 0.5
-        if self.indirect_pred:
-            sec_o = rays_o + depth_map * rays_d
-            wo = -rays_d
-            sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
-                * normal_map - wo
-            tr, sec_depth, sec_inc, sec_live = self.compute_indirect_radiance(
-                params, sec_o, sec_d, occ_binary, step, levels=levels,
-                frac=secondary_frac)
-            # secondary-compaction overflow only matters where the
-            # secondary result is actually blended in
-            included = included & (sec_inc | ~sec_valid)
-            sec_geo = self.geometry.forward(
-                params["geometry"], sec_o, step, with_grad=False,
-                with_feature=True, levels=levels)
-            sec_rgb = self.texture.secondary_shading(
-                params["texture"], sec_geo["feature"], sec_d, normal_map,
-                step=step)
-            mask = sec_valid[:, None]
-            spec_rgb_map = jnp.where(
-                mask, tr * spec_rgb_map + (1 - tr) * sec_rgb, spec_rgb_map)
-            if stage != 0:
-                if not relighting:
-                    spec_rgb_pbr_map = jnp.where(
-                        mask, tr * spec_rgb_pbr_map + (1 - tr) * sec_rgb,
-                        spec_rgb_pbr_map)
-                else:
-                    # third mirror bounce for glossy points (reference :323-332)
-                    rough_mask = mask & (roughness_map
-                                         <= self.relighting_threshold)
-                    third_o = sec_o + sec_depth * sec_d
-                    tg = self.geometry.forward(
-                        params["geometry"], third_o, step, with_grad=True,
-                        with_feature=True, grad_mode="analytic",
-                        levels=levels)
-                    third_normal = _normalize(tg["grad"])
-                    third_rgb = self.texture.secondary_shading_pbr(
-                        params["texture"], tg["feature"], sec_d, third_normal,
-                        third_o, self.emitter, mips, step=step)
-                    spec_light_map = jnp.where(
-                        rough_mask,
-                        tr * spec_light_map + (1 - tr) * third_rgb,
-                        spec_light_map)
-                    spec_rgb_pbr_map = spec_ref_map * spec_light_map
+        maps = {"spec_rgb": spec_rgb_map}
+        if stage != 0:
+            maps.update(spec_rgb_pbr=spec_rgb_pbr_map,
+                        spec_ref=spec_ref_map, spec_light=spec_light_map,
+                        roughness=roughness_map)
+        maps, included, sec_live = self._apply_secondary(
+            params, rays_o, rays_d, occ_binary, step, levels=levels,
+            secondary_frac=secondary_frac, stage=stage,
+            relighting=relighting, mips=mips, normal_map=normal_map,
+            depth_map=depth_map, acc_map=acc_map, maps=maps,
+            included=included)
+        spec_rgb_map = maps["spec_rgb"]
+        if stage != 0:
+            spec_rgb_pbr_map = maps["spec_rgb_pbr"]
+            spec_light_map = maps["spec_light"]
 
         rgb_map = diff_rgb_map + spec_rgb_map
 
@@ -468,6 +504,115 @@ class SplitMixedOccModel:
                 # of samples; the loss must mask with the same stride
                 ls = getattr(self.geometry, "laplace_stride", 1)
                 out["sdf_laplace_valid"] = rs.valid[::ls]
+        return out
+
+    def forward_surface(self, params, rays, *, occ_binary, mips, step,
+                        stage: int = 1, relighting: bool = False,
+                        background_color, levels=None, secondary_frac=None):
+        """Sphere-traced surface eval: the fast non-parity eval mode.
+
+        Replaces marching + volume rendering with a fixed-iteration
+        root find on the SDF (``ops/sphere_trace.py``) and shades the
+        single hit point per ray through the SAME texture / split-sum /
+        secondary-occlusion path as ``forward`` (whose per-ray maps it
+        mirrors key-for-key).  Valid once the surface is sharp
+        (inv_s >~ 500): the NeuS weight distribution then concentrates
+        within ~3/inv_s of the zero crossing, so the volumetric
+        expectation degenerates to the surface value.  Rays the trace
+        could not resolve within the iteration budget report
+        ``ray_included=False`` so the caller's fallback ladder re-renders
+        them volumetrically (systems/neus.py:_escalate_fallback).
+
+        No reference analog (always volumetric there:
+        ``models/split_mixed_occ.py:230-333``); enabled per-config with
+        ``model.eval_mode: sphere_trace``.
+        """
+        from ..ops.sphere_trace import sphere_trace
+
+        n_rays = rays.shape[0]
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        res = sphere_trace(
+            rays_o, rays_d,
+            sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,
+                                               levels=levels),
+            aabb_min=self.aabb_min, aabb_max=self.aabb_max,
+            n_iters=self.st_iters, refine_iters=self.st_refine,
+            hit_eps=self.st_hit_eps, relax=self.st_relax)
+        hit = res.hit
+        pos = rays_o + rays_d * res.t_hit[:, None]
+        geo = self.geometry.forward(
+            params["geometry"], pos, step, with_grad=True,
+            with_feature=True, grad_mode="analytic", levels=levels)
+        normal = _normalize(geo["grad"])
+        tex = self.texture.apply(
+            params["texture"], geo["feature"], rays_d, normal, pos,
+            emitter=self.emitter, mips=mips, stage=stage, step=step)
+
+        w = hit.astype(rays.dtype)[:, None]
+        diff_rgb_map = tex["diff_rgb"] * w
+        blend_map = tex["blend"] * w
+        normal_map = normal * w
+        depth_map = res.t_hit[:, None] * w
+        acc_map = w
+        maps = {"spec_rgb": tex["spec_rgb"] * w}
+        if stage != 0:
+            diff_rgb_pbr_map = tex["diff_rgb_pbr"] * w
+            albedo_map = tex["albedo"] * w
+            metallic_map = tex["metallic"] * w
+            maps.update(spec_rgb_pbr=tex["spec_rgb_pbr"] * w,
+                        spec_ref=tex["spec_ref"] * w,
+                        spec_light=tex["spec_light"] * w,
+                        roughness=tex["roughness"] * w)
+
+        included = res.converged
+        maps, included, sec_live = self._apply_secondary(
+            params, rays_o, rays_d, occ_binary, step, levels=levels,
+            secondary_frac=secondary_frac, stage=stage,
+            relighting=relighting, mips=mips, normal_map=normal_map,
+            depth_map=depth_map, acc_map=acc_map, maps=maps,
+            included=included)
+        spec_rgb_map = maps["spec_rgb"]
+
+        rgb_map = diff_rgb_map + spec_rgb_map
+        bg = jnp.broadcast_to(background_color[None, :], rgb_map.shape)
+        out = {
+            "comp_rgb": rgb_map,
+            "comp_diffuse_rgb": diff_rgb_map,
+            "comp_spec_rgb": spec_rgb_map,
+            "comp_blend": blend_map,
+            "comp_normal": normal_map,
+            "opacity": acc_map,
+            "depth": depth_map,
+            "rays_valid": acc_map > 0,
+            "num_samples": (hit.sum() * (self.st_iters + self.st_refine))
+            .astype(jnp.int32),
+            "ray_included": included,
+            "inv_s": self.variance.inv_s(params["variance"], step),
+            "comp_rgb_full": jnp.clip(
+                rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
+            "rays_valid_full": acc_map > 0,
+        }
+        if self.indirect_pred:
+            out["stat_secondary_live"] = sec_live
+        if stage != 0:
+            rgb_pbr_map = diff_rgb_pbr_map + maps["spec_rgb_pbr"]
+            out.update({
+                "comp_rgb_phys": rgb_pbr_map,
+                "comp_diffuse_rgb_phys": diff_rgb_pbr_map,
+                "comp_spec_rgb_phys": maps["spec_rgb_pbr"],
+                "comp_albedo": albedo_map,
+                "comp_metallic": metallic_map,
+                "comp_roughness": maps["roughness"],
+                "comp_rgb_phys_full": jnp.clip(
+                    rgb_to_srgb(rgb_pbr_map + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+                "comp_spec_rgb_full": jnp.clip(
+                    rgb_to_srgb(spec_rgb_map + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+                "comp_spec_rgb_phys_full": jnp.clip(
+                    rgb_to_srgb(maps["spec_rgb_pbr"] + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+            })
         return out
 
     def forward_level(self, params, x, step=None):

@@ -98,6 +98,44 @@ class SplitOccSystem(NeuSSystem):
         from ..parallel import data_shard_count
 
         model = self.model
+        # sphere-traced fast eval: surface mode replaces marching +
+        # volume rendering entirely (model.forward_surface).  An
+        # explicit capacity keeps the volumetric path — that is the
+        # escalation-fallback / calibration-probe contract, so rays the
+        # trace cannot resolve (ray_included=False) re-render
+        # volumetrically through the existing 2x/4x ladder.
+        surface = (capacity is None
+                   and getattr(model, "eval_mode", "volume")
+                   == "sphere_trace"
+                   and hasattr(model, "forward_surface"))
+        if surface:
+            self._chunk_args = (stage, relighting)
+
+            def body_surface(params, occ_binary, rays, step, mips):
+                out = model.forward_surface(
+                    params, rays, occ_binary=occ_binary, mips=mips,
+                    step=step, stage=stage, relighting=relighting,
+                    secondary_frac=secondary_frac,
+                    background_color=jnp.ones((3,)))
+                keep = ["comp_rgb_full", "comp_normal", "opacity", "depth",
+                        "comp_blend", "comp_diffuse_rgb", "comp_spec_rgb",
+                        "ray_included"]
+                if mesh is None:
+                    keep += ["stat_secondary_live"]
+                if stage != 0:
+                    keep += ["comp_rgb_phys_full", "comp_albedo",
+                             "comp_metallic", "comp_roughness",
+                             "comp_spec_rgb_phys", "comp_diffuse_rgb_phys"]
+                return {k: out[k] for k in keep if k in out}
+
+            render_chunk = jax.jit(body_surface) if mesh is None \
+                else self._shard_render(body_surface, mesh)
+            render_chunk._stage = stage
+            render_chunk._relighting = relighting
+            render_chunk._sec_frac = secondary_frac
+            render_chunk._vis_frac = vis_frac
+            return render_chunk
+
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
         banded = bool(pf and self.eval_band_spr > 0)

@@ -1,0 +1,172 @@
+"""Sphere-traced fast eval (``ops/sphere_trace.py`` +
+``SplitMixedOcc.forward_surface``).
+
+No reference analog (the reference always volume-renders,
+``/root/reference/models/split_mixed_occ.py:230-333``); the contract
+here is (a) the trace finds the SDF zero crossing to sub-step accuracy,
+(b) the surface-mode render matches the volumetric render once the
+surface is sharp, and (c) unresolved rays are flagged for the
+volumetric fallback ladder instead of silently corrupting pixels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rise_sdf_tpu import models
+from rise_sdf_tpu.ops.sphere_trace import sphere_trace
+from rise_sdf_tpu.presets import tiny_split_config
+
+AABB = (jnp.asarray([-1.5] * 3), jnp.asarray([1.5] * 3))
+
+
+def _fan_rays(n=128, origin=(0.0, 0.0, -4.0), spread=0.3):
+    o = jnp.tile(jnp.asarray([origin]), (n, 1))
+    z = jnp.linspace(-spread, spread, n)
+    d = jnp.stack([z * 0.5, z, jnp.ones_like(z)], -1)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def test_trace_analytic_sphere():
+    o, d = _fan_rays()
+    r = 0.5
+    res = sphere_trace(o, d, sdf_fn=lambda p: jnp.linalg.norm(p, axis=-1) - r,
+                       aabb_min=AABB[0], aabb_max=AABB[1])
+    # closed form: |o + t d| = r with unit d
+    b = jnp.sum(o * d, -1)
+    disc = b * b - (jnp.sum(o * o, -1) - r * r)
+    hits = disc > 0
+    t_ref = -b - jnp.sqrt(jnp.where(hits, disc, 0.0))
+    np.testing.assert_array_equal(np.asarray(res.hit), np.asarray(hits))
+    assert bool(res.converged.all())
+    # along-ray error grows ~1/cos at grazing incidence, but the hit
+    # point's distance to the surface stays inside hit_eps
+    np.testing.assert_allclose(np.asarray(res.t_hit[hits]),
+                               np.asarray(t_ref[hits]), atol=3e-3)
+    p = o + d * res.t_hit[:, None]
+    dist = jnp.abs(jnp.linalg.norm(p, axis=-1) - r)
+    assert float(dist[hits].max()) < 1e-3
+    # non-grazing rays (|cos| > 0.5 against the surface) are sub-1e-4
+    cosg = jnp.abs(jnp.sum(d * (p / jnp.linalg.norm(p, axis=-1,
+                                                    keepdims=True)), -1))
+    solid = np.asarray(hits & (cosg > 0.5))
+    np.testing.assert_allclose(np.asarray(res.t_hit[solid]),
+                               np.asarray(t_ref[solid]), atol=1e-4)
+
+
+def test_trace_non_unit_sdf_converges():
+    """A conservative (0.6x-scaled) distance bound still converges —
+    just in more iterations; and sdf_last sits inside hit_eps."""
+    o, d = _fan_rays(64)
+    res = sphere_trace(
+        o, d, sdf_fn=lambda p: 0.6 * (jnp.linalg.norm(p, axis=-1) - 0.5),
+        aabb_min=AABB[0], aabb_max=AABB[1], n_iters=96)
+    assert bool(res.converged.all())
+    assert np.abs(np.asarray(res.sdf_last[res.hit])).max() < 1e-3
+
+
+def test_trace_flags_unresolved_rays():
+    """Too few iterations on a slow SDF: the rays must report
+    converged=False (-> ray_included=False -> volumetric fallback),
+    never a bogus hit."""
+    o, d = _fan_rays(64)
+    res = sphere_trace(
+        o, d, sdf_fn=lambda p: 0.05 * (jnp.linalg.norm(p, axis=-1) - 0.5),
+        aabb_min=AABB[0], aabb_max=AABB[1], n_iters=8)
+    assert not bool(res.converged.all())
+    assert not bool(res.hit[~res.converged].any())
+
+
+def _setup(**model_overrides):
+    cfg = tiny_split_config()
+    for k, v in model_overrides.items():
+        node = cfg["model"]
+        parts = k.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = v
+    model = models.make(cfg.model.name, cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    occ = jnp.ones((model.grid_resolution ** 3,), bool)
+    o, d = _fan_rays(64)
+    rays = jnp.concatenate([o, d], -1)
+    return model, params, occ, rays
+
+
+def _surface(model, params, occ, rays, **kw):
+    mips = model.emitter.build_mips(params["emitter"])
+    return model.forward_surface(
+        params, rays, occ_binary=occ, mips=mips,
+        step=jnp.asarray(20, jnp.int32), stage=1,
+        background_color=jnp.ones((3,)), **kw)
+
+
+def test_forward_surface_matches_volume_when_sharp():
+    """With a sharp surface (inv_s ~ 8000 via variance.init_val) the
+    volumetric expectation collapses onto the crossing, so surface and
+    volume renders agree on every eval channel."""
+    # fine marching (512 samples/ray) so the volumetric crossing is
+    # quantized well below the texture fields' variation — the residual
+    # disagreement is then the volumetric discretization error itself
+    model, params, occ, rays = _setup(**{"variance.init_val": 0.9,
+                                         "num_samples_per_ray": 512})
+    out_s = _surface(model, params, occ, rays)
+    mips = model.emitter.build_mips(params["emitter"])
+    out_v = model.forward(
+        params, rays, occ_binary=occ, mips=mips,
+        step=jnp.asarray(20, jnp.int32), rng=None, stage=1, train=False,
+        capacity=24576, background_color=jnp.ones((3,)))
+    assert bool(out_v["ray_included"].all()), "volumetric overflow"
+    hit = np.asarray(out_s["opacity"][:, 0]) > 0.5
+    assert hit.any() and not hit.all()
+    # agreement on hit rays; exact background on misses
+    np.testing.assert_allclose(np.asarray(out_s["opacity"][:, 0]),
+                               np.asarray(out_v["opacity"][:, 0]), atol=2e-2)
+    for k in ("comp_rgb_full", "comp_rgb_phys_full", "comp_albedo",
+              "comp_roughness"):
+        diff = np.abs(np.asarray(out_s[k][hit]) - np.asarray(out_v[k][hit]))
+        assert diff.max() < 8e-2, (k, diff.max())   # grazing boundary rays
+        assert diff.mean() < 1e-2, (k, diff.mean())
+    np.testing.assert_allclose(np.asarray(out_s["depth"][hit]),
+                               np.asarray(out_v[("depth")][hit]),
+                               atol=2 * model.render_step_size)
+    np.testing.assert_allclose(np.asarray(out_s["comp_rgb_full"][~hit]),
+                               1.0, atol=1e-5)
+
+
+def test_forward_surface_relighting_runs():
+    model, params, occ, rays = _setup(**{"variance.init_val": 0.9})
+    out = _surface(model, params, occ, rays, relighting=True)
+    for k in ("comp_rgb_phys_full", "comp_spec_rgb_phys"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+
+
+def test_render_chunk_dispatches_surface_mode(tmp_path):
+    """System wiring: eval_mode sphere_trace builds a surface chunk
+    whose keys feed the existing metrics path, and the fallback chunk
+    (explicit capacity) stays volumetric."""
+    from rise_sdf_tpu import datasets, systems
+
+    cfg = tiny_split_config()
+    cfg["model"]["eval_mode"] = "sphere_trace"
+    cfg["model"]["variance"]["init_val"] = 0.9
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=str(tmp_path))
+    state = system.init_state(0)
+    state["step"] = jnp.asarray(20, jnp.int32)
+    chunk = system.make_render_chunk(1)
+    mips = system.model.emitter.build_mips(state["params"]["emitter"])
+    _, d = _fan_rays(system.eval_chunk)
+    o = jnp.tile(jnp.asarray([[0.0, 0.0, -4.0]]), (system.eval_chunk, 1))
+    rays = jnp.concatenate([o, d], -1)
+    res = chunk(state["params"], state["occ_binary"], rays, state["step"],
+                mips)
+    assert "comp_rgb_phys_full" in res and "comp_albedo" in res
+    assert np.isfinite(np.asarray(res["comp_rgb_full"])).all()
+    # fallback ladder must produce the volumetric path
+    fb = system._make_fallback_chunk(chunk, 2)
+    res_fb = fb(state["params"], state["occ_binary"], rays, state["step"],
+                mips)
+    assert np.isfinite(np.asarray(res_fb["comp_rgb_full"])).all()
