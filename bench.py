@@ -23,6 +23,13 @@ Protocols, all full 800^2 images with every chunk blocked:
             inv_s ~ 20, no prefilter) for cross-round continuity.
   nopf192   the round-2 workaround on the converged scene: no
             prefilter, 192 samples/ray — what the headline replaces.
+  sphere    sphere-traced surface eval (ops/sphere_trace.py +
+            forward_surface): no sample buffers at all; the beyond-
+            parity fast path for converged surfaces (reported
+            separately, not the headline — it renders the surface,
+            not the volume).
+
+Env: RISE_BENCH_SIZE overrides the 800 image side (CPU smoke).
 
 Also reports the roofline position (achieved TFLOP/s + HBM GB/s from
 XLA cost_analysis over measured wall time vs chip peaks).
@@ -71,8 +78,12 @@ def make_occupancy(model, kind):
     return jnp.asarray(binary.reshape(-1))
 
 
-def image_rays(w=800, h=800):
+def image_rays(w=None, h=None):
     import jax.numpy as jnp
+
+    side = int(os.environ.get("RISE_BENCH_SIZE", "800"))
+    w = w or side
+    h = h or side
 
     from rise_sdf_tpu.datasets.synthetic import look_at
     from rise_sdf_tpu.utils.rays import get_ray_directions, get_rays
@@ -86,7 +97,7 @@ def image_rays(w=800, h=800):
 
 
 def run_protocol(model, params, occ_binary, rays, *, step, capacity,
-                 prefilter, chunk, label, banded=False):
+                 prefilter, chunk, label, banded=False, surface=False):
     import jax
     import jax.numpy as jnp
 
@@ -94,13 +105,22 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
 
     build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
 
-    def body(params, rays_chunk, mips):
-        out = model.forward(
-            params, rays_chunk, occ_binary=occ_binary, mips=mips, step=step,
-            rng=None, stage=1, train=False, capacity=capacity,
-            background_color=jnp.ones((3,)), prefilter=prefilter,
-            banded=banded)
-        return out["comp_rgb_full"], out["ray_included"]
+    if surface:
+        # sphere-traced fast eval (ops/sphere_trace.py): no sample
+        # buffers at all — capacity/prefilter/banded are moot
+        def body(params, rays_chunk, mips):
+            out = model.forward_surface(
+                params, rays_chunk, occ_binary=occ_binary, mips=mips,
+                step=step, stage=1, background_color=jnp.ones((3,)))
+            return out["comp_rgb_full"], out["ray_included"]
+    else:
+        def body(params, rays_chunk, mips):
+            out = model.forward(
+                params, rays_chunk, occ_binary=occ_binary, mips=mips,
+                step=step, rng=None, stage=1, train=False, capacity=capacity,
+                background_color=jnp.ones((3,)), prefilter=prefilter,
+                banded=banded)
+            return out["comp_rgb_full"], out["ray_included"]
 
     t0 = time.time()
     mips = build_mips(params)
@@ -190,9 +210,14 @@ def main():
     nopf = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * 192,
         prefilter=False, chunk=chunk, label="nopf192 (r2 workaround)")
+    sphere = run_protocol(
+        model, params_sharp, solid, rays, step=step, capacity=0,
+        prefilter=False, chunk=chunk, label="sphere-trace surface eval",
+        surface=True) if hasattr(model, "forward_surface") else None
 
+    side = int(os.environ.get("RISE_BENCH_SIZE", "800"))
     out = {
-        "metric": "rays/sec/chip at 800^2 split-sum PBR render "
+        "metric": f"rays/sec/chip at {side}^2 split-sum PBR render "
                   f"(converged solid occupancy, {mdesc})",
         "value": round(headline["rays_per_sec"], 1),
         "unit": "rays/s",
@@ -202,6 +227,9 @@ def main():
         "legacy_shell_rays_per_sec": round(legacy["rays_per_sec"], 1),
         "no_prefilter_192spr_rays_per_sec": round(nopf["rays_per_sec"], 1),
     }
+    if sphere is not None:
+        out["sphere_trace_rays_per_sec"] = round(sphere["rays_per_sec"], 1)
+        out["sphere_trace_unresolved_rays"] = sphere["dropped_rays"]
     for k in ("achieved_tflops", "achieved_hbm_gbs", "est_mfu",
               "est_membw_frac"):
         if k in headline:
