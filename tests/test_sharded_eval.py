@@ -39,6 +39,28 @@ def test_sharded_render_matches_single(system):
                                    err_msg=k)
 
 
+def test_sharded_surface_render_matches_single(tmp_path_factory):
+    """The sphere-traced eval chunk under a data mesh == single-device
+    (deterministic trace, rays split over 'data')."""
+    assert len(jax.devices()) >= NDEV
+    cfg = tiny_split_config()
+    cfg["model"]["eval_mode"] = "sphere_trace"
+    cfg["model"]["variance"]["init_val"] = 0.9
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm,
+                          save_dir=str(tmp_path_factory.mktemp("ssurf")))
+    state = system.init_state(0)
+    state["step"] = state["step"] + 20
+    split = system.datamodule.val()
+    single = system.make_render_chunk(1)
+    sharded = system.make_render_chunk(1, mesh=get_mesh(NDEV))
+    out_s = system.render_image(state, split, 0, single, stage=1)
+    out_m = system.render_image(state, split, 0, sharded, stage=1)
+    for k in ("comp_rgb_full", "comp_rgb_phys_full", "opacity", "depth"):
+        np.testing.assert_allclose(out_m[k], out_s[k], atol=2e-3,
+                                   err_msg=k)
+
+
 def test_validate_runs_with_mesh(system):
     system.mesh = get_mesh(NDEV)
     try:
