@@ -365,6 +365,14 @@ class NeuSSystem(BaseSystem):
     def make_render_chunk(self, capacity=None, mesh=None):
         from ..parallel import data_shard_count
 
+        # memoize compiled chunks (see SplitOccSystem.make_render_chunk)
+        key = (capacity, id(mesh))
+        cache = getattr(self, "_render_chunk_cache", None)
+        if cache is None:
+            cache = self._render_chunk_cache = {}
+        if key in cache:
+            return cache[key]
+
         model = self.model
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
@@ -386,9 +394,10 @@ class NeuSSystem(BaseSystem):
                     "ray_included"]
             return {k: out[k] for k in keep if k in out}
 
-        if mesh is None:
-            return jax.jit(body)
-        return self._shard_render(body, mesh)
+        render_chunk = jax.jit(body) if mesh is None \
+            else self._shard_render(body, mesh)
+        cache[key] = render_chunk
+        return render_chunk
 
     def render_image(self, state, split, index: int,
                      render_chunk=None) -> Dict[str, np.ndarray]:

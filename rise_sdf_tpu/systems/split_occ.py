@@ -97,6 +97,19 @@ class SplitOccSystem(NeuSSystem):
                           mesh=None):
         from ..parallel import data_shard_count
 
+        # memoize compiled chunks on their static arguments: validate()
+        # runs every val_check_interval and used to rebuild (and fully
+        # recompile) the eval render each time — ~minutes per val at
+        # production scale for an identical computation
+        key = (stage, relighting, capacity, secondary_frac, vis_frac,
+               id(mesh))
+        cache = getattr(self, "_render_chunk_cache", None)
+        if cache is None:
+            cache = self._render_chunk_cache = {}
+        if key in cache:
+            self._chunk_args = (stage, relighting)
+            return cache[key]
+
         model = self.model
         # sphere-traced fast eval: surface mode replaces marching +
         # volume rendering entirely (model.forward_surface).  An
@@ -134,6 +147,7 @@ class SplitOccSystem(NeuSSystem):
             render_chunk._relighting = relighting
             render_chunk._sec_frac = secondary_frac
             render_chunk._vis_frac = vis_frac
+            cache[key] = render_chunk
             return render_chunk
 
         pf = model.prefilter_on(0, train=False) \
@@ -177,6 +191,7 @@ class SplitOccSystem(NeuSSystem):
         render_chunk._relighting = relighting
         render_chunk._sec_frac = secondary_frac
         render_chunk._vis_frac = vis_frac
+        cache[key] = render_chunk
         return render_chunk
 
     def render_image(self, state, split, index: int, render_chunk=None,

@@ -43,3 +43,17 @@ def test_fallback_ladder_escalates(tmp_path):
     fbs2 = getattr(starved, "_fallbacks", {})
     if fbs2:  # overflowed -> 2x (eval_capacity*2 = 64/ray) must suffice
         assert 2 in fbs2 and 4 not in fbs2
+
+
+def test_render_chunk_memoized(tmp_path):
+    """Repeat make_render_chunk calls with identical static args return
+    the SAME compiled chunk (validate() used to fully recompile the
+    eval render every val_check_interval); distinct args don't."""
+    cfg = neus_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=str(tmp_path))
+    a = system.make_render_chunk()
+    assert system.make_render_chunk() is a
+    b = system.make_render_chunk(capacity=system.eval_chunk * 2)
+    assert b is not a
+    assert system.make_render_chunk(capacity=system.eval_chunk * 2) is b
