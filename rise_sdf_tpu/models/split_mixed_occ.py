@@ -71,6 +71,11 @@ class SplitMixedOccModel:
         self.st_refine = int(config.get("sphere_trace_refine_iters", 4))
         self.st_hit_eps = float(config.get("sphere_trace_hit_eps", 1e-3))
         self.st_relax = float(config.get("sphere_trace_relax", 0.9))
+        self.st_occ_guard = bool(config.get("sphere_trace_occ_guard", True))
+        # occupied lead of a surface's own dilation: ~2 cells of shell +
+        # cell-center sampling slop, stretched by eikonal residual
+        self.st_guard_margin = float(
+            config.get("sphere_trace_guard_margin_cells", 4.0))
         self.cos_anneal_end = int(config.get("cos_anneal_end", 0))
         self.randomized = bool(config.get("randomized", True))
         self.split_sum_kick_in_step = int(config.get("split_sum_kick_in_step", 0))
@@ -256,6 +261,55 @@ class SplitMixedOccModel:
                 maps["spec_rgb_pbr"] = maps["spec_ref"] * maps["spec_light"]
         return maps, included, sec_live
 
+    def _assemble_out(self, *, diff_rgb_map, maps, blend_map, normal_map,
+                      depth_map, acc_map, num_samples, included, inv_s,
+                      background_color, stage, diff_rgb_pbr_map=None,
+                      albedo_map=None, metallic_map=None):
+        """Per-ray output dict shared by the volumetric ``forward`` and
+        the sphere-traced ``forward_surface`` — ONE place defines the
+        eval channel set so the two modes cannot drift (callers append
+        their mode-specific extras: train tensors, calibration stats)."""
+        spec_rgb_map = maps["spec_rgb"]
+        rgb_map = diff_rgb_map + spec_rgb_map
+        bg = jnp.broadcast_to(background_color[None, :], rgb_map.shape)
+        out = {
+            "comp_rgb": rgb_map,
+            "comp_diffuse_rgb": diff_rgb_map,
+            "comp_spec_rgb": spec_rgb_map,
+            "comp_blend": blend_map,
+            "comp_normal": normal_map,
+            "opacity": acc_map,
+            "depth": depth_map,
+            "rays_valid": acc_map > 0,
+            "num_samples": num_samples,
+            "ray_included": included,
+            "inv_s": inv_s,
+            "comp_rgb_full": jnp.clip(
+                rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
+            "rays_valid_full": acc_map > 0,
+        }
+        if stage != 0:
+            spec_rgb_pbr_map = maps["spec_rgb_pbr"]
+            rgb_pbr_map = diff_rgb_pbr_map + spec_rgb_pbr_map
+            out.update({
+                "comp_rgb_phys": rgb_pbr_map,
+                "comp_diffuse_rgb_phys": diff_rgb_pbr_map,
+                "comp_spec_rgb_phys": spec_rgb_pbr_map,
+                "comp_albedo": albedo_map,
+                "comp_metallic": metallic_map,
+                "comp_roughness": maps["roughness"],
+                "comp_rgb_phys_full": jnp.clip(
+                    rgb_to_srgb(rgb_pbr_map + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+                "comp_spec_rgb_full": jnp.clip(
+                    rgb_to_srgb(spec_rgb_map + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+                "comp_spec_rgb_phys_full": jnp.clip(
+                    rgb_to_srgb(spec_rgb_pbr_map + bg * (1.0 - acc_map)),
+                    0.0, 1.0),
+            })
+        return out
+
     # ------------------------------------------------------------------ #
     def prefilter_on(self, step: int, train: bool = True) -> bool:
         """Python-level (static) flag: is the visibility prefilter active?
@@ -435,30 +489,14 @@ class SplitMixedOccModel:
             relighting=relighting, mips=mips, normal_map=normal_map,
             depth_map=depth_map, acc_map=acc_map, maps=maps,
             included=included)
-        spec_rgb_map = maps["spec_rgb"]
-        if stage != 0:
-            spec_rgb_pbr_map = maps["spec_rgb_pbr"]
-            spec_light_map = maps["spec_light"]
-
-        rgb_map = diff_rgb_map + spec_rgb_map
-
-        bg = jnp.broadcast_to(background_color[None, :], rgb_map.shape)
-        out = {
-            "comp_rgb": rgb_map,
-            "comp_diffuse_rgb": diff_rgb_map,
-            "comp_spec_rgb": spec_rgb_map,
-            "comp_blend": blend_map,
-            "comp_normal": normal_map,
-            "opacity": acc_map,
-            "depth": depth_map,
-            "rays_valid": acc_map > 0,
-            "num_samples": rs.num_live,
-            "ray_included": included,
-            "inv_s": inv_s,
-            "comp_rgb_full": jnp.clip(
-                rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
-            "rays_valid_full": acc_map > 0,
-        }
+        out = self._assemble_out(
+            diff_rgb_map=diff_rgb_map, maps=maps, blend_map=blend_map,
+            normal_map=normal_map, depth_map=depth_map, acc_map=acc_map,
+            num_samples=rs.num_live, included=included, inv_s=inv_s,
+            background_color=background_color, stage=stage,
+            diff_rgb_pbr_map=diff_rgb_pbr_map if stage != 0 else None,
+            albedo_map=albedo_map if stage != 0 else None,
+            metallic_map=metallic_map if stage != 0 else None)
         if not train:
             # occupancy/visibility statistics for eval-capacity
             # calibration (SplitOccSystem.calibrate_eval): live samples
@@ -469,23 +507,6 @@ class SplitMixedOccModel:
                 .astype(jnp.int32)
             if self.indirect_pred:
                 out["stat_secondary_live"] = sec_live
-        if stage != 0:
-            rgb_pbr_map = diff_rgb_pbr_map + spec_rgb_pbr_map
-            out.update({
-                "comp_rgb_phys": rgb_pbr_map,
-                "comp_diffuse_rgb_phys": diff_rgb_pbr_map,
-                "comp_spec_rgb_phys": spec_rgb_pbr_map,
-                "comp_albedo": albedo_map,
-                "comp_metallic": metallic_map,
-                "comp_roughness": roughness_map,
-                "comp_rgb_phys_full": jnp.clip(
-                    rgb_to_srgb(rgb_pbr_map + bg * (1.0 - acc_map)), 0.0, 1.0),
-                "comp_spec_rgb_full": jnp.clip(
-                    rgb_to_srgb(spec_rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
-                "comp_spec_rgb_phys_full": jnp.clip(
-                    rgb_to_srgb(spec_rgb_pbr_map + bg * (1.0 - acc_map)),
-                    0.0, 1.0),
-            })
         if train:
             out.update({
                 "sdf_samples": sdf,
@@ -529,7 +550,6 @@ class SplitMixedOccModel:
         """
         from ..ops.sphere_trace import sphere_trace
 
-        n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         res = sphere_trace(
             rays_o, rays_d,
@@ -539,11 +559,42 @@ class SplitMixedOccModel:
             n_iters=self.st_iters, refine_iters=self.st_refine,
             hit_eps=self.st_hit_eps, relax=self.st_relax)
         hit = res.hit
+        included = res.converged
         pos = rays_o + rays_d * res.t_hit[:, None]
         geo = self.geometry.forward(
             params["geometry"], pos, step, with_grad=True,
             with_feature=True, grad_mode="analytic", levels=levels)
         normal = _normalize(geo["grad"])
+        if occ_binary is not None and self.st_occ_guard:
+            # tunneling guard: sphere tracing can overstep a thin sheet
+            # when the learned SDF overestimates true distance (eikonal
+            # residual > 1/relax), reporting a clean exit or a too-far
+            # hit with no error signal.  A pure occupancy probe
+            # (bitfield gathers, no MLP) along the ray flags rays whose
+            # first occupied cell lies well before the reported hit —
+            # or that "exited" through occupied space: those go to the
+            # volumetric residual re-render instead of compositing
+            # background.  The hit's own occupancy dilation leads the
+            # crossing by ~dilation/cos(incidence) along the ray, so the
+            # margin is cos-scaled (a fixed-t margin would flag every
+            # oblique hit).
+            t_near, t_far = march.ray_aabb_intersect(
+                rays_o, rays_d, self.aabb_min, self.aabb_max)
+            m = 64
+            frac = (jnp.arange(m, dtype=rays.dtype) + 0.5) / m
+            span = jnp.maximum(t_far - t_near, 0.0)
+            ts = t_near[:, None] + span[:, None] * frac[None]
+            pts = rays_o[:, None] + rays_d[:, None] * ts[..., None]
+            occ = march.occupancy_lookup(
+                occ_binary, pts.reshape(-1, 3), self.aabb_min,
+                self.aabb_max, self.grid_resolution
+            ).reshape(ts.shape)
+            cell = 2.0 * self.radius / self.grid_resolution
+            cos = jnp.abs(jnp.sum(rays_d * normal, -1))
+            margin = self.st_guard_margin * cell / jnp.clip(cos, 0.15, 1.0)
+            limit = jnp.where(hit, res.t_hit - margin, t_far + 1.0)
+            suspect = (occ & (ts < limit[:, None])).any(-1)
+            included = included & ~suspect
         tex = self.texture.apply(
             params["texture"], geo["feature"], rays_d, normal, pos,
             emitter=self.emitter, mips=mips, stage=stage, step=step)
@@ -564,55 +615,24 @@ class SplitMixedOccModel:
                         spec_light=tex["spec_light"] * w,
                         roughness=tex["roughness"] * w)
 
-        included = res.converged
         maps, included, sec_live = self._apply_secondary(
             params, rays_o, rays_d, occ_binary, step, levels=levels,
             secondary_frac=secondary_frac, stage=stage,
             relighting=relighting, mips=mips, normal_map=normal_map,
             depth_map=depth_map, acc_map=acc_map, maps=maps,
             included=included)
-        spec_rgb_map = maps["spec_rgb"]
-
-        rgb_map = diff_rgb_map + spec_rgb_map
-        bg = jnp.broadcast_to(background_color[None, :], rgb_map.shape)
-        out = {
-            "comp_rgb": rgb_map,
-            "comp_diffuse_rgb": diff_rgb_map,
-            "comp_spec_rgb": spec_rgb_map,
-            "comp_blend": blend_map,
-            "comp_normal": normal_map,
-            "opacity": acc_map,
-            "depth": depth_map,
-            "rays_valid": acc_map > 0,
-            "num_samples": (hit.sum() * (self.st_iters + self.st_refine))
-            .astype(jnp.int32),
-            "ray_included": included,
-            "inv_s": self.variance.inv_s(params["variance"], step),
-            "comp_rgb_full": jnp.clip(
-                rgb_to_srgb(rgb_map + bg * (1.0 - acc_map)), 0.0, 1.0),
-            "rays_valid_full": acc_map > 0,
-        }
+        out = self._assemble_out(
+            diff_rgb_map=diff_rgb_map, maps=maps, blend_map=blend_map,
+            normal_map=normal_map, depth_map=depth_map, acc_map=acc_map,
+            num_samples=(hit.sum() * (self.st_iters + self.st_refine))
+            .astype(jnp.int32), included=included,
+            inv_s=self.variance.inv_s(params["variance"], step),
+            background_color=background_color, stage=stage,
+            diff_rgb_pbr_map=diff_rgb_pbr_map if stage != 0 else None,
+            albedo_map=albedo_map if stage != 0 else None,
+            metallic_map=metallic_map if stage != 0 else None)
         if self.indirect_pred:
             out["stat_secondary_live"] = sec_live
-        if stage != 0:
-            rgb_pbr_map = diff_rgb_pbr_map + maps["spec_rgb_pbr"]
-            out.update({
-                "comp_rgb_phys": rgb_pbr_map,
-                "comp_diffuse_rgb_phys": diff_rgb_pbr_map,
-                "comp_spec_rgb_phys": maps["spec_rgb_pbr"],
-                "comp_albedo": albedo_map,
-                "comp_metallic": metallic_map,
-                "comp_roughness": maps["roughness"],
-                "comp_rgb_phys_full": jnp.clip(
-                    rgb_to_srgb(rgb_pbr_map + bg * (1.0 - acc_map)),
-                    0.0, 1.0),
-                "comp_spec_rgb_full": jnp.clip(
-                    rgb_to_srgb(spec_rgb_map + bg * (1.0 - acc_map)),
-                    0.0, 1.0),
-                "comp_spec_rgb_phys_full": jnp.clip(
-                    rgb_to_srgb(maps["spec_rgb_pbr"] + bg * (1.0 - acc_map)),
-                    0.0, 1.0),
-            })
         return out
 
     def forward_level(self, params, x, step=None):

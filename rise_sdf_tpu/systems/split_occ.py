@@ -107,7 +107,6 @@ class SplitOccSystem(NeuSSystem):
         if cache is None:
             cache = self._render_chunk_cache = {}
         if key in cache:
-            self._chunk_args = (stage, relighting)
             return cache[key]
 
         model = self.model
@@ -122,7 +121,6 @@ class SplitOccSystem(NeuSSystem):
                    == "sphere_trace"
                    and hasattr(model, "forward_surface"))
         if surface:
-            self._chunk_args = (stage, relighting)
 
             def body_surface(params, occ_binary, rays, step, mips):
                 out = model.forward_surface(
@@ -147,6 +145,7 @@ class SplitOccSystem(NeuSSystem):
             render_chunk._relighting = relighting
             render_chunk._sec_frac = secondary_frac
             render_chunk._vis_frac = vis_frac
+            render_chunk._surface = True
             cache[key] = render_chunk
             return render_chunk
 
@@ -156,7 +155,6 @@ class SplitOccSystem(NeuSSystem):
         base_cap = capacity or (self.eval_chunk * self.eval_band_spr
                                 if banded else self.eval_capacity)
         cap = max(base_cap // data_shard_count(mesh), 16)
-        self._chunk_args = (stage, relighting)
         if banded:
             # the band IS the texture-stage visibility compaction —
             # a weight-threshold recut of the small banded buffer would
@@ -228,15 +226,65 @@ class SplitOccSystem(NeuSSystem):
             res = render_chunk(state["params"], state["occ_binary"], chunk,
                                state["step"], mips)
             if "ray_included" in res and not bool(res["ray_included"].all()):
-                res = self._escalate_fallback(
-                    render_chunk,
-                    lambda fn: fn(state["params"], state["occ_binary"],
-                                  chunk, state["step"], mips))
+                if getattr(render_chunk, "_surface", False):
+                    # sphere-trace mode: unresolved rays are structural
+                    # (grazing silhouettes), not rare overflow — re-render
+                    # ONLY those rays volumetrically and merge row-wise
+                    res = self._render_surface_residual(
+                        render_chunk, res, chunk, state, mips)
+                else:
+                    res = self._escalate_fallback(
+                        render_chunk,
+                        lambda fn: fn(state["params"], state["occ_binary"],
+                                      chunk, state["step"], mips))
                 self._warn_dropped_rays(res, s)
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()
                          if not k.startswith("stat_")})
         return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+
+    def _render_surface_residual(self, render_chunk, res, chunk, state,
+                                 mips):
+        """Volumetric re-render of ONLY the rays the sphere trace could
+        not resolve, merged row-wise into the surface result.
+
+        Unresolved rays are structural in surface mode (near-tangent
+        silhouette rays, occupancy-flagged tunnel suspects) — unlike the
+        rare buffer-overflow case the 2x/4x whole-chunk ladder was built
+        for.  They are compacted into fixed-width residual chunks
+        (``eval_chunk/8`` rays at a 2x per-ray budget), so one grazing
+        ray costs ~1/8 of a volumetric chunk instead of a full 2x
+        re-render of all rays."""
+        inc = np.asarray(res["ray_included"])
+        idx = np.nonzero(~inc)[0]
+        width = max(self.eval_chunk // 8, 16)
+        per_ray = max(self.eval_capacity * 2 // self.eval_chunk, 8)
+        vol = self.make_render_chunk(
+            getattr(render_chunk, "_stage", 1),
+            getattr(render_chunk, "_relighting", False),
+            capacity=per_ray * width,
+            secondary_frac=getattr(render_chunk, "_sec_frac", None),
+            vis_frac=getattr(render_chunk, "_vis_frac", None))
+        out = {k: (v if k.startswith("stat_") else np.asarray(v).copy())
+               for k, v in res.items()}
+        inc_new = inc.copy()
+        chunk_np = np.asarray(chunk)
+        for s0 in range(0, len(idx), width):
+            sel = idx[s0:s0 + width]
+            sub = chunk_np[sel]
+            padn = width - len(sel)
+            if padn:
+                sub = np.concatenate([sub, np.repeat(sub[-1:], padn, 0)])
+            r = vol(state["params"], state["occ_binary"], jnp.asarray(sub),
+                    state["step"], mips)
+            for k in out:
+                if k.startswith("stat_") or k == "ray_included":
+                    continue
+                if k in r:
+                    out[k][sel] = np.asarray(r[k])[:len(sel)]
+            inc_new[sel] = np.asarray(r["ray_included"])[:len(sel)]
+        out["ray_included"] = inc_new
+        return out
 
     def _make_fallback_chunk(self, render_chunk, mult: int = 2):
         base_frac = getattr(render_chunk, "_sec_frac", None)

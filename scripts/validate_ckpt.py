@@ -21,8 +21,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     cfg_path, ckpt_path = sys.argv[1], sys.argv[2]
-    n_images = int(sys.argv[3]) if len(sys.argv) > 3 else 1
-    overrides = sys.argv[4:]
+    rest = sys.argv[3:]
+    n_images = 1
+    if rest and "=" not in rest[0]:
+        n_images = int(rest[0])
+        rest = rest[1:]
+    overrides = rest
 
     from rise_sdf_tpu import datasets, systems
     from rise_sdf_tpu.config import load_config

@@ -170,3 +170,104 @@ def test_render_chunk_dispatches_surface_mode(tmp_path):
     res_fb = fb(state["params"], state["occ_binary"], rays, state["step"],
                 mips)
     assert np.isfinite(np.asarray(res_fb["comp_rgb_full"])).all()
+
+
+def test_occ_guard_flags_suspect_rays():
+    """With a fully-occupied grid every ray has occupied cells well
+    before its hit (or exits through occupied space) -> the tunneling
+    guard must flag ALL of them for the volumetric residual; with the
+    guard off, converged rays stay included.  With a tight shell grid
+    hugging the true surface, hit rays stay included (the occupancy
+    dilation sits inside the 3-cell margin)."""
+    model, params, occ_full, rays = _setup(**{"variance.init_val": 0.9})
+    out = _surface(model, params, occ_full, rays)
+    inc_full = np.asarray(out["ray_included"])
+    miss = np.asarray(out["opacity"][:, 0]) <= 0.5
+    # core guarantee 1: no silent background — every miss ray traversed
+    # occupied space and must be flagged for the volumetric residual
+    assert not inc_full[miss].any()
+    # core guarantee 2: non-grazing hits whose occupied lead (t_hit
+    # minus the AABB-entry t, everything occupied in a full grid)
+    # clearly exceeds the guard margin must be flagged.  Excluded:
+    # grazing hits (cos-scaled margin blows up) and hits right at the
+    # AABB entry (no occupied lead exists before them, so including
+    # them is correct)
+    d0 = np.asarray(rays[:, 3:])
+    cos_full = np.abs((d0 * np.asarray(out["comp_normal"])).sum(-1))
+    dep = np.asarray(out["depth"]).reshape(-1)
+    t_entry = (4.0 - model.radius) / d0[:, 2]  # rays start at z=-4
+    cell = 2 * model.radius / model.grid_resolution
+    margin = model.st_guard_margin * cell / np.clip(cos_full, 0.15, 1.0)
+    # the guard probes 64 points across the AABB span: suspect iff the
+    # first occupied probe sits before t_hit - margin; grant 2 probe
+    # spacings of slop so the assertion only covers unambiguous rays
+    spacing = 2 * model.radius * 2 / d0[:, 2] / 64
+    deep = ~miss & (cos_full > 0.6) & (dep - t_entry > margin + 2 * spacing)
+    assert deep.any()
+    assert not inc_full[deep].any()
+    assert inc_full.mean() < 0.2
+
+    model_ng, *_ = _setup(**{"variance.init_val": 0.9,
+                             "sphere_trace_occ_guard": False})
+    out_ng = _surface(model_ng, params, occ_full, rays)
+    assert bool(np.asarray(out_ng["ray_included"]).any())
+
+    # shell occupancy hugging the *actual* init-SDF zero set (what a
+    # converged occupancy grid looks like): |sdf| < 2 cells
+    res = model.grid_resolution
+    g = (np.arange(res) + 0.5) / res * 2 * model.radius - model.radius
+    x, y, z = np.meshgrid(g, g, g, indexing="ij")
+    cell = 2 * model.radius / res
+    centers = jnp.asarray(
+        np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32))
+    sdf_c = model.geometry.sdf(params["geometry"], centers,
+                               jnp.asarray(20, jnp.int32))
+    shell = jnp.abs(sdf_c) < 2 * cell
+    out_sh = _surface(model, params, shell, rays)
+    hit = np.asarray(out_sh["opacity"][:, 0]) > 0.5
+    inc = np.asarray(out_sh["ray_included"])
+    # grazing rays cross the shell obliquely (occupied cells appear in t
+    # far before the hit) and are conservatively flagged — that is the
+    # intended behavior; solid (non-grazing) hits must pass the guard
+    d = np.asarray(rays[:, 3:])
+    nrm = np.asarray(out_sh["comp_normal"])
+    cosg = np.abs((d * nrm).sum(-1))
+    solid = hit & (cosg > 0.6)
+    assert solid.any()
+    assert inc[solid].mean() > 0.95
+    assert inc[hit].mean() > 0.5
+
+
+def test_surface_residual_merges_volumetric_rows(tmp_path):
+    """When every surface ray is flagged (full occupancy + guard), the
+    residual path must reproduce the volumetric render row-for-row."""
+    from rise_sdf_tpu import datasets, systems
+
+    def build(eval_mode):
+        cfg = tiny_split_config()
+        cfg["model"]["eval_mode"] = eval_mode
+        cfg["model"]["variance"]["init_val"] = 0.9
+        # starve the trace so NO ray resolves -> the whole image goes
+        # through the residual path and must equal the volumetric render
+        cfg["model"]["sphere_trace_iters"] = 1
+        cfg["model"]["sphere_trace_refine_iters"] = 0
+        cfg["model"]["sphere_trace_occ_guard"] = True
+        dm = datasets.make(cfg.dataset.name, cfg.dataset)
+        return systems.make(cfg.system.name, cfg, dm,
+                            save_dir=str(tmp_path / eval_mode))
+
+    sys_s, sys_v = build("sphere_trace"), build("volume")
+    state = sys_s.init_state(0)
+    state["step"] = jnp.asarray(20, jnp.int32)
+    split = sys_s.datamodule.val()
+    out_s = sys_s.render_image(state, split, 0, stage=1)
+    out_v = sys_v.render_image(state, split, 0, stage=1)
+    assert bool(out_s["ray_included"].all())
+    # residual and ladder chunks use different buffer sizes -> float
+    # reduction order (and boundary-sample inclusion) differs slightly;
+    # depth tolerance is in marching-step units
+    tol = {"depth": sys_s.model.render_step_size}
+    for k in ("comp_rgb_full", "comp_rgb_phys_full", "opacity", "depth"):
+        diff = np.abs(out_s[k] - out_v[k])
+        assert diff.max() < tol.get(k, 1e-2), (k, diff.max())
+        assert diff.mean() < 1e-3, (k, diff.mean())
