@@ -271,3 +271,60 @@ def test_surface_residual_merges_volumetric_rows(tmp_path):
         diff = np.abs(out_s[k] - out_v[k])
         assert diff.max() < tol.get(k, 1e-2), (k, diff.max())
         assert diff.mean() < 1e-3, (k, diff.mean())
+
+
+def test_surface_residual_partial_flags(tmp_path):
+    """Mixed image — a healthy trace with the guard on flags only a
+    SUBSET of rays (grazing silhouettes / guard suspects).  The
+    row-wise merge must (a) leave resolved surface rows bit-identical
+    to a residual-free surface render and (b) replace flagged rows
+    with finite volumetric values, ending with every ray included."""
+    from rise_sdf_tpu import datasets, systems
+
+    def build(guard):
+        cfg = tiny_split_config()
+        cfg["model"]["eval_mode"] = "sphere_trace"
+        cfg["model"]["variance"]["init_val"] = 0.9
+        cfg["model"]["sphere_trace_occ_guard"] = guard
+        dm = datasets.make(cfg.dataset.name, cfg.dataset)
+        return systems.make(cfg.system.name, cfg, dm,
+                            save_dir=str(tmp_path / f"g{guard}"))
+
+    sys_g = build(True)
+    state = sys_g.init_state(0)
+    state["step"] = jnp.asarray(20, jnp.int32)
+    split = sys_g.datamodule.val()
+
+    # raw surface chunk result (pre-residual) for row-identity checks
+    chunk_fn = sys_g.make_render_chunk(1)
+    n = sys_g.eval_chunk
+    from rise_sdf_tpu.utils.rays import get_rays
+    rays_o, rays_d = get_rays(jnp.asarray(np.asarray(split.directions)),
+                              jnp.asarray(np.asarray(split.all_c2w[0])))
+    rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    all_rays = jnp.concatenate([rays_o, rays_d], -1)
+    # center crop: rows crossing the object (hits AND grazing edges)
+    mid = all_rays.shape[0] // 2
+    first = all_rays[mid - n // 2: mid + (n + 1) // 2]
+    mips = sys_g.model.emitter.build_mips(state["params"]["emitter"])
+    raw = chunk_fn(state["params"], state["occ_binary"], first,
+                   state["step"], mips)
+    inc_raw = np.asarray(raw["ray_included"])
+    # at the dense init-state grid the guard flags most rays (occupied
+    # space precedes every hit) while a couple of entry-adjacent hits
+    # pass — exactly the mixed case the merge must handle
+    assert inc_raw.any()
+    if not inc_raw.all():        # partial-flag scenario materialized
+        merged = sys_g._render_surface_residual(
+            chunk_fn, raw, first, state, mips)
+        assert bool(np.asarray(merged["ray_included"]).all())
+        for k in ("comp_rgb_full", "opacity", "depth"):
+            m, r = np.asarray(merged[k]), np.asarray(raw[k])
+            # resolved rows untouched (bit-identical)
+            np.testing.assert_array_equal(m[inc_raw], r[inc_raw])
+            assert np.isfinite(m).all(), k
+    # full image through render_image: everything included and finite
+    out = sys_g.render_image(state, split, 0, stage=1)
+    assert bool(out["ray_included"].all())
+    for k in ("comp_rgb_full", "comp_rgb_phys_full", "opacity"):
+        assert np.isfinite(out[k]).all(), k
