@@ -152,6 +152,50 @@ def main():
 
     timeit("volrend 512k x24", f_vr, alphas)
 
+    # ---- surface (sphere-trace) eval breakdown --------------------- #
+    # informs the two-phase-trace decision: if trace time dominates
+    # forward_surface AND truncated-level tracing is much cheaper, a
+    # coarse-march + full-refine split is worth building; if shading/
+    # secondary dominates, it is not.
+    from rise_sdf_tpu.ops.sphere_trace import sphere_trace
+
+    solid = jnp.asarray((r < 0.5 + 2 * cell).reshape(-1))
+    params_sharp = dict(params)
+    params_sharp["variance"] = {**params["variance"],
+                                "variance": jnp.asarray(0.67, jnp.float32)}
+
+    def f_trace(p, levels=None):
+        res_t = sphere_trace(
+            rays_o, d,
+            sdf_fn=lambda pts: model.geometry.sdf(p["geometry"], pts, step,
+                                                  levels=levels),
+            aabb_min=model.aabb_min, aabb_max=model.aabb_max,
+            n_iters=model.st_iters, refine_iters=model.st_refine,
+            hit_eps=model.st_hit_eps, relax=model.st_relax)
+        return res_t.t_hit
+
+    timeit("sphere_trace 4k rays (full levels)", f_trace, params_sharp)
+    for lv in (10, 8):
+        timeit(f"sphere_trace 4k rays (levels={lv})",
+               lambda p, lv=lv: f_trace(p, levels=lv), params_sharp)
+
+    mips_s = model.emitter.build_mips(params_sharp["emitter"])
+
+    def f_surface(p, occb):
+        out = model.forward_surface(
+            p, rays, occ_binary=occb, mips=mips_s, step=step, stage=1,
+            background_color=jnp.ones((3,)))
+        return out["comp_rgb_full"]
+
+    if hasattr(model, "forward_surface"):
+        timeit("forward_surface 4k rays (guard on)", f_surface, params_sharp,
+               solid)
+        guard_prev = model.st_occ_guard
+        model.st_occ_guard = False
+        timeit("forward_surface 4k rays (guard off)",
+               lambda p: f_surface(p, solid), params_sharp)
+        model.st_occ_guard = guard_prev
+
 
 if __name__ == "__main__":
     main()
