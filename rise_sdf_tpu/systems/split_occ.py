@@ -465,6 +465,8 @@ class SplitOccSystem(NeuSSystem):
             p = os.path.join(hdr_dir, f"{light}.{ext}")
             relight_bases[light] = self.model.emitter.relight_params(p)["base"]
 
+        import time as _time
+        t_protocol0 = _time.time()
         for i in range(len(split)):
             # per-view heartbeat: the full protocol renders each view
             # several times (nvs/phys + one pass per relight env), which
@@ -590,6 +592,12 @@ class SplitOccSystem(NeuSSystem):
             for k, v in d.items():
                 if v:
                     res[f"relight_{k}_{light}"] = float(np.mean(v))
+        dt_protocol = _time.time() - t_protocol0
+        n_renders = len(split) * (1 + len(self.relight_list))
+        print(f"test protocol wall time: {dt_protocol:.1f}s for "
+              f"{len(split)} views ({dt_protocol / max(len(split), 1):.1f} "
+              f"s/view, {n_renders} full renders incl. metrics/IO)",
+              flush=True)
         print(f"test: {res}", flush=True)
         self.saver.save_img_sequence(f"it{step}-test", f"it{step}-test",
                                      r"(\d+)\.png")
