@@ -203,18 +203,17 @@ class SplitMixedOccModel:
             jax.lax.stop_gradient(depth), included, \
             live.sum().astype(jnp.int32)
 
-    def _apply_secondary(self, params, rays_o, rays_d, occ_binary, step, *,
-                         levels, secondary_frac, stage, relighting, mips,
-                         normal_map, depth_map, acc_map, maps, included):
-        """Secondary occlusion / indirect radiance blend, shared by the
-        volumetric ``forward`` and the sphere-traced ``forward_surface``
-        (both produce per-ray surface maps by this point).  ``maps``
-        holds spec_rgb (+ stage-1 spec_rgb_pbr/spec_ref/spec_light/
-        roughness); returns the updated maps, the overflow-aware
-        ``ray_included`` and the live secondary-sample count."""
+    def _secondary_geom(self, params, rays_o, rays_d, occ_binary, step, *,
+                        levels, secondary_frac, normal_map, depth_map,
+                        acc_map, included, need_third: bool):
+        """Emitter-independent half of the secondary pass: transmittance
+        + depth along the reflected rays, the indirect-radiance MLP, and
+        (when a relighting shade will follow) the third-bounce hit
+        geometry + material cache.  Computed ONCE per geometry pass and
+        shared by every light's ``_secondary_shade``."""
         sec_valid = acc_map[:, 0] > 0.5
         if not self.indirect_pred:
-            return maps, included, jnp.zeros((), jnp.int32)
+            return {"included": included, "sec_live": jnp.zeros((), jnp.int32)}
         sec_o = rays_o + depth_map * rays_d
         wo = -rays_d
         sec_d = 2.0 * jnp.sum(wo * normal_map, -1, keepdims=True) \
@@ -231,8 +230,34 @@ class SplitMixedOccModel:
         sec_rgb = self.texture.secondary_shading(
             params["texture"], sec_geo["feature"], sec_d, normal_map,
             step=step)
-        mask = sec_valid[:, None]
+        sg = {"sec_valid": sec_valid, "sec_d": sec_d, "tr": tr,
+              "sec_rgb": sec_rgb, "sec_live": sec_live,
+              "included": included}
+        if need_third:
+            # third mirror bounce for glossy points (reference :323-332)
+            third_o = sec_o + sec_depth * sec_d
+            tg = self.geometry.forward(
+                params["geometry"], third_o, step, with_grad=True,
+                with_feature=True, grad_mode="analytic", levels=levels)
+            third_normal = _normalize(tg["grad"])
+            if getattr(self.texture, "supports_multi_emitter", False):
+                sg["third_cache"] = self.texture.secondary_pbr_cache(
+                    params["texture"], tg["feature"], sec_d, third_normal,
+                    third_o, step=step)
+            else:
+                sg["third_inputs"] = (tg["feature"], third_normal, third_o,
+                                      step)
+        return sg
+
+    def _secondary_shade(self, params, sg, maps, *, stage, relighting, mips):
+        """Per-light half of the secondary pass: blend the shared
+        indirect radiance into the spec maps; under ``relighting``,
+        shade the shared third-bounce hit with THIS light."""
         maps = dict(maps)
+        if not self.indirect_pred:
+            return maps
+        mask = sg["sec_valid"][:, None]
+        tr, sec_rgb = sg["tr"], sg["sec_rgb"]
         maps["spec_rgb"] = jnp.where(
             mask, tr * maps["spec_rgb"] + (1 - tr) * sec_rgb,
             maps["spec_rgb"])
@@ -242,24 +267,42 @@ class SplitMixedOccModel:
                     mask, tr * maps["spec_rgb_pbr"] + (1 - tr) * sec_rgb,
                     maps["spec_rgb_pbr"])
             else:
-                # third mirror bounce for glossy points (reference :323-332)
                 rough_mask = mask & (maps["roughness"]
                                      <= self.relighting_threshold)
-                third_o = sec_o + sec_depth * sec_d
-                tg = self.geometry.forward(
-                    params["geometry"], third_o, step, with_grad=True,
-                    with_feature=True, grad_mode="analytic",
-                    levels=levels)
-                third_normal = _normalize(tg["grad"])
-                third_rgb = self.texture.secondary_shading_pbr(
-                    params["texture"], tg["feature"], sec_d, third_normal,
-                    third_o, self.emitter, mips, step=step)
+                if "third_cache" in sg:
+                    third_rgb = self.texture.secondary_shade_pbr_cached(
+                        sg["third_cache"], self.emitter, mips)
+                else:
+                    feat, third_normal, third_o, t_step = sg["third_inputs"]
+                    third_rgb = self.texture.secondary_shading_pbr(
+                        params["texture"], feat, sg["sec_d"], third_normal,
+                        third_o, self.emitter, mips, step=t_step)
                 maps["spec_light"] = jnp.where(
                     rough_mask,
                     tr * maps["spec_light"] + (1 - tr) * third_rgb,
                     maps["spec_light"])
                 maps["spec_rgb_pbr"] = maps["spec_ref"] * maps["spec_light"]
-        return maps, included, sec_live
+        return maps
+
+    def _apply_secondary(self, params, rays_o, rays_d, occ_binary, step, *,
+                         levels, secondary_frac, stage, relighting, mips,
+                         normal_map, depth_map, acc_map, maps, included):
+        """Secondary occlusion / indirect radiance blend, shared by the
+        volumetric ``forward`` and the sphere-traced ``forward_surface``
+        (both produce per-ray surface maps by this point).  ``maps``
+        holds spec_rgb (+ stage-1 spec_rgb_pbr/spec_ref/spec_light/
+        roughness); returns the updated maps, the overflow-aware
+        ``ray_included`` and the live secondary-sample count.  Built
+        from ``_secondary_geom`` + ``_secondary_shade`` so the single-
+        and multi-emitter paths share one set of numerics."""
+        sg = self._secondary_geom(
+            params, rays_o, rays_d, occ_binary, step, levels=levels,
+            secondary_frac=secondary_frac, normal_map=normal_map,
+            depth_map=depth_map, acc_map=acc_map, included=included,
+            need_third=(stage != 0 and relighting))
+        maps = self._secondary_shade(params, sg, maps, stage=stage,
+                                     relighting=relighting, mips=mips)
+        return maps, sg["included"], sg["sec_live"]
 
     def _assemble_out(self, *, diff_rgb_map, maps, blend_map, normal_map,
                       depth_map, acc_map, num_samples, included, inv_s,
@@ -343,21 +386,11 @@ class SplitMixedOccModel:
             early_stop_eps=volrend.EARLY_STOP_EPS,
             margin_intervals=self.prefilter_margin_intervals, band=band)
 
-    def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
-                stage: int = 0, train: bool = False, relighting: bool = False,
-                capacity: int, background_color, levels=None,
-                secondary_frac=None, prefilter: bool = False,
-                vis_frac=None, banded: bool = False):
-        """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
-        levels/secondary_frac/prefilter/vis_frac/banded static
-        (``levels`` = open hash levels; None = all;
-        ``secondary_frac``/``vis_frac`` override the secondary-sample /
-        texture-visibility compaction budgets — e.g. the eval overflow
-        fallback, or the derived fractions from
-        ``SplitOccSystem.calibrate_eval``; ``prefilter`` enables
-        transmittance-aware marching; ``banded`` additionally restricts
-        eval samples to the probe's weight-mass band ``[t_lo, t_cut)``
-        so a much smaller ``capacity`` suffices)."""
+    def _march_compact(self, params, rays, *, occ_binary, step, rng, train,
+                       capacity, levels, prefilter, banded, vis_frac):
+        """March + geometry + NeuS weights + eval visibility compaction —
+        the emitter-independent front half of ``forward``, shared with
+        ``forward_multi`` (one geometry pass shading N lights)."""
         n_rays = rays.shape[0]
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
         march_rng = laplace_rng = None
@@ -392,11 +425,11 @@ class SplitMixedOccModel:
             params["geometry"], positions, step, with_grad=True,
             with_feature=True, with_laplace=want_laplace, rng=laplace_rng,
             grad_mode=None if train else "analytic", levels=levels)
-        sdf, sdf_grad, feature = geo["sdf"], geo["grad"], geo["feature"]
-        normal = _normalize(sdf_grad)
+        feature = geo["feature"]
+        normal = _normalize(geo["grad"])
         inv_s = self.variance.inv_s(params["variance"], step)
         true_cos = jnp.sum(t_dirs * normal, -1)
-        alpha = neus_alpha(sdf, inv_s, true_cos, dists,
+        alpha = neus_alpha(geo["sdf"], inv_s, true_cos, dists,
                            self.cos_anneal_ratio(step))
 
         weights, _ = volrend.render_weight_from_alpha(
@@ -435,6 +468,43 @@ class SplitMixedOccModel:
             s_feature, s_dirs, s_normal = feature, t_dirs, normal
             s_pos, s_tmid = positions, t_mid
             s_weights, s_ridx = weights, rs.ray_indices
+
+        return {"rs": rs, "geo": geo, "weights": weights,
+                "included": included, "inv_s": inv_s, "t_mid": t_mid,
+                "dists": dists, "s_feature": s_feature, "s_dirs": s_dirs,
+                "s_normal": s_normal, "s_pos": s_pos, "s_tmid": s_tmid,
+                "s_weights": s_weights, "s_ridx": s_ridx}
+
+    def forward(self, params, rays, *, occ_binary, mips, step, rng=None,
+                stage: int = 0, train: bool = False, relighting: bool = False,
+                capacity: int, background_color, levels=None,
+                secondary_frac=None, prefilter: bool = False,
+                vis_frac=None, banded: bool = False):
+        """rays [R,6] -> per-ray dict. stage/train/relighting/capacity/
+        levels/secondary_frac/prefilter/vis_frac/banded static
+        (``levels`` = open hash levels; None = all;
+        ``secondary_frac``/``vis_frac`` override the secondary-sample /
+        texture-visibility compaction budgets — e.g. the eval overflow
+        fallback, or the derived fractions from
+        ``SplitOccSystem.calibrate_eval``; ``prefilter`` enables
+        transmittance-aware marching; ``banded`` additionally restricts
+        eval samples to the probe's weight-mass band ``[t_lo, t_cut)``
+        so a much smaller ``capacity`` suffices)."""
+        mc = self._march_compact(
+            params, rays, occ_binary=occ_binary, step=step, rng=rng,
+            train=train, capacity=capacity, levels=levels,
+            prefilter=prefilter, banded=banded, vis_frac=vis_frac)
+        n_rays = rays.shape[0]
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        rs, geo, weights, included, inv_s = \
+            mc["rs"], mc["geo"], mc["weights"], mc["included"], mc["inv_s"]
+        sdf, sdf_grad = geo["sdf"], geo["grad"]
+        t_mid, dists = mc["t_mid"], mc["dists"]
+        s_feature, s_dirs, s_normal = \
+            mc["s_feature"], mc["s_dirs"], mc["s_normal"]
+        s_pos, s_tmid = mc["s_pos"], mc["s_tmid"]
+        s_weights, s_ridx = mc["s_weights"], mc["s_ridx"]
+        want_laplace = self.fd_grad and train
 
         tex = self.texture.apply(
             params["texture"], s_feature, s_dirs, s_normal, s_pos,
@@ -527,27 +597,117 @@ class SplitMixedOccModel:
                 out["sdf_laplace_valid"] = rs.valid[::ls]
         return out
 
-    def forward_surface(self, params, rays, *, occ_binary, mips, step,
-                        stage: int = 1, relighting: bool = False,
-                        background_color, levels=None, secondary_frac=None):
-        """Sphere-traced surface eval: the fast non-parity eval mode.
+    def forward_multi(self, params, rays, *, occ_binary, mips_list, step,
+                      relight_flags, stage: int = 1, capacity: int,
+                      background_color, levels=None, secondary_frac=None,
+                      vis_frac=None, prefilter: bool = False,
+                      banded: bool = False):
+        """Multi-emitter eval: ONE geometry pass (march, SDF forward,
+        NeuS weights, visibility compaction, secondary transmittance,
+        third-bounce hit geometry) shaded under ``len(mips_list)``
+        environment lights; returns one per-ray output dict per light.
 
-        Replaces marching + volume rendering with a fixed-iteration
-        root find on the SDF (``ops/sphere_trace.py``) and shades the
-        single hit point per ray through the SAME texture / split-sum /
-        secondary-occlusion path as ``forward`` (whose per-ray maps it
-        mirrors key-for-key).  Valid once the surface is sharp
-        (inv_s >~ 500): the NeuS weight distribution then concentrates
-        within ~3/inv_s of the zero crossing, so the volumetric
-        expectation degenerates to the surface value.  Rays the trace
-        could not resolve within the iteration budget report
-        ``ray_included=False`` so the caller's fallback ladder re-renders
-        them volumetrically (systems/neus.py:_escalate_fallback).
+        ``mips_list[i]`` pairs with the static ``relight_flags[i]``
+        (False = the training emitter's NVS/phys render, True = a
+        relight render with the third-bounce mirror path).  Per extra
+        light the only per-sample work is two mip-cubemap lookups +
+        arithmetic and a 9-channel accumulation — the march and every
+        MLP run once.  The reference re-renders the full pipeline per
+        relight light (``systems/split_occ.py:402-430``); results here
+        are identical by construction because the shared pass is
+        emitter-independent (same ``_march_compact`` /
+        ``_secondary_geom`` the single-light ``forward`` uses)."""
+        assert len(mips_list) == len(relight_flags) and mips_list
+        assert getattr(self.texture, "supports_multi_emitter", False), \
+            "texture model lacks the material_cache/shade_cached split"
+        n_rays = rays.shape[0]
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        mc = self._march_compact(
+            params, rays, occ_binary=occ_binary, step=step, rng=None,
+            train=False, capacity=capacity, levels=levels,
+            prefilter=prefilter, banded=banded, vis_frac=vis_frac)
+        rs, weights, inv_s = mc["rs"], mc["weights"], mc["inv_s"]
+        s_normal, s_tmid = mc["s_normal"], mc["s_tmid"]
+        s_weights, s_ridx = mc["s_weights"], mc["s_ridx"]
 
-        No reference analog (always volumetric there:
-        ``models/split_mixed_occ.py:230-333``); enabled per-config with
-        ``model.eval_mode: sphere_trace``.
-        """
+        texc = self.texture.material_cache(
+            params["texture"], mc["s_feature"], mc["s_dirs"], s_normal,
+            mc["s_pos"], stage=stage, step=step)
+
+        # light-independent accumulation (NN radiance split + materials
+        # + geometry maps), once
+        chans = [texc["diff_rgb"], texc["spec_rgb"], texc["blend"]]
+        if stage != 0:
+            chans += [texc["spec_ref"], texc["albedo"], texc["metallic"],
+                      texc["roughness"]]
+        chans += [s_normal, s_tmid[:, None], jnp.ones_like(s_tmid)[:, None]]
+        acc = volrend.accumulate_along_rays(
+            s_weights, s_ridx, jnp.concatenate(chans, axis=-1), n_rays)
+        i = 0
+
+        def take(d):
+            nonlocal i
+            v = acc[:, i:i + d]
+            i += d
+            return v
+
+        diff_rgb_map = take(3)
+        spec_rgb_map = take(3)
+        blend_map = take(1)
+        if stage != 0:
+            spec_ref_map = take(3)
+            albedo_map = take(3)
+            metallic_map = take(1)
+            roughness_map = take(1)
+        normal_map = take(3)
+        depth_map = take(1)
+        acc_map = take(1)
+
+        sg = self._secondary_geom(
+            params, rays_o, rays_d, occ_binary, step, levels=levels,
+            secondary_frac=secondary_frac, normal_map=normal_map,
+            depth_map=depth_map, acc_map=acc_map, included=mc["included"],
+            need_third=(stage != 0 and any(relight_flags)))
+        included = sg["included"]
+
+        outs = []
+        for mips, relighting in zip(mips_list, relight_flags):
+            maps = {"spec_rgb": spec_rgb_map}
+            if stage != 0:
+                shade = self.texture.shade_cached(texc, self.emitter, mips,
+                                                  stage=stage)
+                acc_l = volrend.accumulate_along_rays(
+                    s_weights, s_ridx,
+                    jnp.concatenate([shade["diff_rgb_pbr"],
+                                     shade["spec_rgb_pbr"],
+                                     shade["spec_light"]], axis=-1), n_rays)
+                diff_rgb_pbr_map = acc_l[:, 0:3]
+                maps.update(spec_rgb_pbr=acc_l[:, 3:6],
+                            spec_light=acc_l[:, 6:9],
+                            spec_ref=spec_ref_map, roughness=roughness_map)
+            maps = self._secondary_shade(params, sg, maps, stage=stage,
+                                         relighting=relighting, mips=mips)
+            out = self._assemble_out(
+                diff_rgb_map=diff_rgb_map, maps=maps, blend_map=blend_map,
+                normal_map=normal_map, depth_map=depth_map, acc_map=acc_map,
+                num_samples=rs.num_live, included=included, inv_s=inv_s,
+                background_color=background_color, stage=stage,
+                diff_rgb_pbr_map=diff_rgb_pbr_map if stage != 0 else None,
+                albedo_map=albedo_map if stage != 0 else None,
+                metallic_map=metallic_map if stage != 0 else None)
+            outs.append(out)
+        # calibration statistics ride the first (NVS) output
+        outs[0]["stat_live"] = rs.num_live
+        outs[0]["stat_vis"] = ((weights > 1e-5) & rs.valid).sum()\
+            .astype(jnp.int32)
+        if self.indirect_pred:
+            outs[0]["stat_secondary_live"] = sg["sec_live"]
+        return outs
+
+    def _surface_geometry(self, params, rays, *, occ_binary, step, levels):
+        """Sphere trace + hit geometry + occupancy tunneling guard —
+        the emitter-independent front half of ``forward_surface``,
+        shared with ``forward_surface_multi``."""
         from ..ops.sphere_trace import sphere_trace
 
         rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
@@ -595,6 +755,36 @@ class SplitMixedOccModel:
             limit = jnp.where(hit, res.t_hit - margin, t_far + 1.0)
             suspect = (occ & (ts < limit[:, None])).any(-1)
             included = included & ~suspect
+        return {"res": res, "hit": hit, "included": included, "pos": pos,
+                "normal": normal, "geo": geo}
+
+    def forward_surface(self, params, rays, *, occ_binary, mips, step,
+                        stage: int = 1, relighting: bool = False,
+                        background_color, levels=None, secondary_frac=None):
+        """Sphere-traced surface eval: the fast non-parity eval mode.
+
+        Replaces marching + volume rendering with a fixed-iteration
+        root find on the SDF (``ops/sphere_trace.py``) and shades the
+        single hit point per ray through the SAME texture / split-sum /
+        secondary-occlusion path as ``forward`` (whose per-ray maps it
+        mirrors key-for-key).  Valid once the surface is sharp
+        (inv_s >~ 500): the NeuS weight distribution then concentrates
+        within ~3/inv_s of the zero crossing, so the volumetric
+        expectation degenerates to the surface value.  Rays the trace
+        could not resolve within the iteration budget report
+        ``ray_included=False`` so the caller's fallback ladder re-renders
+        them volumetrically (systems/neus.py:_escalate_fallback).
+
+        No reference analog (always volumetric there:
+        ``models/split_mixed_occ.py:230-333``); enabled per-config with
+        ``model.eval_mode: sphere_trace``.
+        """
+        sr = self._surface_geometry(params, rays, occ_binary=occ_binary,
+                                    step=step, levels=levels)
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        res, hit, included = sr["res"], sr["hit"], sr["included"]
+        pos, normal = sr["pos"], sr["normal"]
+        geo = sr["geo"]
         tex = self.texture.apply(
             params["texture"], geo["feature"], rays_d, normal, pos,
             emitter=self.emitter, mips=mips, stage=stage, step=step)
@@ -634,6 +824,72 @@ class SplitMixedOccModel:
         if self.indirect_pred:
             out["stat_secondary_live"] = sec_live
         return out
+
+    def forward_surface_multi(self, params, rays, *, occ_binary, mips_list,
+                              step, relight_flags, stage: int = 1,
+                              background_color, levels=None,
+                              secondary_frac=None):
+        """Multi-emitter sphere-traced eval: trace + hit geometry +
+        tunneling guard + secondary geometry once, shade per light
+        (see ``forward_multi``)."""
+        assert len(mips_list) == len(relight_flags) and mips_list
+        assert getattr(self.texture, "supports_multi_emitter", False), \
+            "texture model lacks the material_cache/shade_cached split"
+        sr = self._surface_geometry(params, rays, occ_binary=occ_binary,
+                                    step=step, levels=levels)
+        rays_o, rays_d = rays[:, 0:3], rays[:, 3:6]
+        res, hit = sr["res"], sr["hit"]
+        pos, normal = sr["pos"], sr["normal"]
+        texc = self.texture.material_cache(
+            params["texture"], sr["geo"]["feature"], rays_d, normal, pos,
+            stage=stage, step=step)
+
+        w = hit.astype(rays.dtype)[:, None]
+        diff_rgb_map = texc["diff_rgb"] * w
+        blend_map = texc["blend"] * w
+        normal_map = normal * w
+        depth_map = res.t_hit[:, None] * w
+        acc_map = w
+        spec_rgb_map = texc["spec_rgb"] * w
+        if stage != 0:
+            albedo_map = texc["albedo"] * w
+            metallic_map = texc["metallic"] * w
+            spec_ref_map = texc["spec_ref"] * w
+            roughness_map = texc["roughness"] * w
+
+        sg = self._secondary_geom(
+            params, rays_o, rays_d, occ_binary, step, levels=levels,
+            secondary_frac=secondary_frac, normal_map=normal_map,
+            depth_map=depth_map, acc_map=acc_map, included=sr["included"],
+            need_third=(stage != 0 and any(relight_flags)))
+        included = sg["included"]
+
+        outs = []
+        for mips, relighting in zip(mips_list, relight_flags):
+            maps = {"spec_rgb": spec_rgb_map}
+            if stage != 0:
+                shade = self.texture.shade_cached(texc, self.emitter, mips,
+                                                  stage=stage)
+                maps.update(spec_rgb_pbr=shade["spec_rgb_pbr"] * w,
+                            spec_light=shade["spec_light"] * w,
+                            spec_ref=spec_ref_map, roughness=roughness_map)
+                diff_rgb_pbr_map = shade["diff_rgb_pbr"] * w
+            maps = self._secondary_shade(params, sg, maps, stage=stage,
+                                         relighting=relighting, mips=mips)
+            out = self._assemble_out(
+                diff_rgb_map=diff_rgb_map, maps=maps, blend_map=blend_map,
+                normal_map=normal_map, depth_map=depth_map, acc_map=acc_map,
+                num_samples=(hit.sum() * (self.st_iters + self.st_refine))
+                .astype(jnp.int32), included=included,
+                inv_s=self.variance.inv_s(params["variance"], step),
+                background_color=background_color, stage=stage,
+                diff_rgb_pbr_map=diff_rgb_pbr_map if stage != 0 else None,
+                albedo_map=albedo_map if stage != 0 else None,
+                metallic_map=metallic_map if stage != 0 else None)
+            outs.append(out)
+        if self.indirect_pred:
+            outs[0]["stat_secondary_live"] = sg["sec_live"]
+        return outs
 
     def forward_level(self, params, x, step=None):
         return self.geometry.forward_level(params["geometry"], x, step)

@@ -83,6 +83,9 @@ class VolumeMixedMipSplitOcc:
     physically-based branch.
     """
 
+    # material_cache / shade_cached split available (multi-emitter eval)
+    supports_multi_emitter = True
+
     def __init__(self, config):
         self.config = config
         self.n_dir_dims = int(config.get("n_dir_dims", 3))
@@ -151,9 +154,15 @@ class VolumeMixedMipSplitOcc:
         spec_rgb_pbr = specular_ref * specular_light
         return diff_rgb_pbr, spec_rgb_pbr, specular_ref, specular_light
 
-    def apply(self, params, features, dirs, normals, positions, emitter=None,
-              mips=None, stage: int = 0, step=None):
-        """Per-sample appearance. All inputs [N, .]; returns channel dict."""
+    def material_cache(self, params, features, dirs, normals, positions,
+                       stage: int = 0, step=None):
+        """Everything in ``apply`` that does NOT depend on the emitter:
+        material MLP heads, the NN radiance branch, and the FG-LUT term
+        of the split sum.  One cache serves any number of environment
+        lights via ``shade_cached`` — the basis of the multi-emitter
+        eval that renders NVS + all relights from one geometry pass
+        (the reference re-renders fully per light,
+        ``systems/split_occ.py:402-430``)."""
         wi = -dirs
         wo = _reflect(wi, normals)
         nov = jnp.sum(normals * wi, -1, keepdims=True)
@@ -169,18 +178,51 @@ class VolumeMixedMipSplitOcc:
         spec_rgb = blend * spec_rgb
         diff_rgb = (1 - blend) * diff_rgb
 
-        out = {"diff_rgb": diff_rgb, "spec_rgb": spec_rgb, "blend": blend}
+        cache = {"diff_rgb": diff_rgb, "spec_rgb": spec_rgb, "blend": blend}
+        if stage == 0:
+            return cache
+
+        diffuse_albedo = (1 - metallic) * albedo
+        specular_albedo = 0.04 * (1 - metallic) + metallic * albedo
+        fg_uv = jnp.concatenate([jnp.clip(nov, 0.0, 1.0),
+                                 jnp.clip(roughness, 0.0, 1.0)], -1)
+        fg = sample_texture2d(self._fg, fg_uv)
+        specular_ref = specular_albedo * fg[..., 0:1] + fg[..., 1:2]
+        cache.update({
+            "albedo": albedo, "metallic": metallic, "roughness": roughness,
+            "diffuse_albedo": diffuse_albedo, "spec_ref": specular_ref,
+            "normals": normals, "wo": wo,
+        })
+        return cache
+
+    def shade_cached(self, cache, emitter, mips, stage: int = 0):
+        """The emitter-dependent remainder of ``apply``: two mip-cubemap
+        lookups + per-sample arithmetic.  Per extra light this is the
+        ONLY per-sample work."""
+        out = {"diff_rgb": cache["diff_rgb"], "spec_rgb": cache["spec_rgb"],
+               "blend": cache["blend"]}
         if stage == 0:
             return out
-
-        diff_pbr, spec_pbr, spec_ref, spec_light = self._split_sum(
-            albedo, roughness, metallic, normals, wo, nov, emitter, mips)
+        diffuse_light = emitter.eval_mip(mips, cache["normals"])
+        specular_light = emitter.eval_mip(mips, cache["wo"], specular=True,
+                                          roughness=cache["roughness"])
         out.update({
-            "diff_rgb_pbr": diff_pbr, "spec_rgb_pbr": spec_pbr,
-            "spec_ref": spec_ref, "spec_light": spec_light,
-            "albedo": albedo, "metallic": metallic, "roughness": roughness,
+            "diff_rgb_pbr": cache["diffuse_albedo"] * diffuse_light,
+            "spec_rgb_pbr": cache["spec_ref"] * specular_light,
+            "spec_ref": cache["spec_ref"], "spec_light": specular_light,
+            "albedo": cache["albedo"], "metallic": cache["metallic"],
+            "roughness": cache["roughness"],
         })
         return out
+
+    def apply(self, params, features, dirs, normals, positions, emitter=None,
+              mips=None, stage: int = 0, step=None):
+        """Per-sample appearance. All inputs [N, .]; returns channel dict.
+        Built as ``material_cache`` + ``shade_cached`` so the single- and
+        multi-emitter paths share one set of numerics."""
+        cache = self.material_cache(params, features, dirs, normals,
+                                    positions, stage=stage, step=step)
+        return self.shade_cached(cache, emitter, mips, stage=stage)
 
     # ------------------------------------------------------------------ #
     def secondary_shading(self, params, features, rays_d, *args, step=None):
@@ -191,6 +233,24 @@ class VolumeMixedMipSplitOcc:
         return self.color_activation(
             self.secondary_mlp.apply(params["secondary"], inp))
 
+    def secondary_pbr_cache(self, params, features, dirs, normals,
+                            positions, step=None):
+        """Emitter-independent half of ``secondary_shading_pbr`` (the
+        material heads at the third-bounce hit)."""
+        wi = -dirs
+        nov = jnp.sum(normals * wi, -1, keepdims=True)
+        _, albedo, roughness, _, metallic = self._material_heads(
+            params, features, positions, step)
+        return {"albedo": albedo, "roughness": roughness,
+                "metallic": metallic, "normals": normals, "dirs": dirs,
+                "nov": nov}
+
+    def secondary_shade_pbr_cached(self, cache, emitter, mips):
+        diff_pbr, spec_pbr, _, _ = self._split_sum(
+            cache["albedo"], cache["roughness"], cache["metallic"],
+            cache["normals"], cache["dirs"], cache["nov"], emitter, mips)
+        return diff_pbr + spec_pbr
+
     def secondary_shading_pbr(self, params, features, dirs, normals,
                               positions, emitter, mips, step=None):
         """Full split-sum at a secondary hit (texture.py:386-427).
@@ -198,13 +258,9 @@ class VolumeMixedMipSplitOcc:
         Note: matches the reference in evaluating the specular light in
         the *incoming* ray direction ``dirs`` (mirror bounce).
         """
-        wi = -dirs
-        nov = jnp.sum(normals * wi, -1, keepdims=True)
-        _, albedo, roughness, _, metallic = self._material_heads(
-            params, features, positions, step)
-        diff_pbr, spec_pbr, _, _ = self._split_sum(
-            albedo, roughness, metallic, normals, dirs, nov, emitter, mips)
-        return diff_pbr + spec_pbr
+        cache = self.secondary_pbr_cache(params, features, dirs, normals,
+                                         positions, step)
+        return self.secondary_shade_pbr_cached(cache, emitter, mips)
 
 
 @register("volume-pbr")
@@ -258,6 +314,9 @@ class VolumeSplitSumMip(VolumeMixedMipSplitOcc):
     Heads: albedo(3), roughness(1), metallic(1), secondary; forward
     returns only the PBR channels.
     """
+
+    # no NN radiance branch: material_cache's env/blend path doesn't apply
+    supports_multi_emitter = False
 
     def __init__(self, config):
         self.config = config

@@ -61,6 +61,30 @@ def test_sharded_surface_render_matches_single(tmp_path_factory):
                                    err_msg=k)
 
 
+def test_sharded_multi_emitter_matches_single(system):
+    """The multi-emitter chunk (NVS + relight from one geometry pass)
+    under a data mesh == single-device multi chunk, per light."""
+    import jax.numpy as jnp
+
+    assert len(jax.devices()) >= NDEV
+    state = system.init_state(0)
+    state["step"] = state["step"] + 20  # stage 1
+    split = system.datamodule.val()
+    base0 = state["params"]["emitter"]["base"]
+    base2 = jnp.roll(base0 * 1.7 + 0.05, 1, -1)
+    single = system.make_render_chunk(1, n_relights=1)
+    sharded = system.make_render_chunk(1, mesh=get_mesh(NDEV),
+                                       n_relights=1)
+    out_s = system.render_image(state, split, 0, single, stage=1,
+                                emitter_base=[base0, base2])
+    out_m = system.render_image(state, split, 0, sharded, stage=1,
+                                emitter_base=[base0, base2])
+    for k in ("comp_rgb_full", "comp_rgb_phys_full",
+              "relight0/comp_rgb_phys_full", "opacity", "depth"):
+        np.testing.assert_allclose(out_m[k], out_s[k], atol=2e-3,
+                                   err_msg=k)
+
+
 def test_validate_runs_with_mesh(system):
     system.mesh = get_mesh(NDEV)
     try:
