@@ -41,4 +41,15 @@ say "train A/B: fd_fine_k=3"
 timeout 3600 $AB --out /tmp/ab_finek \
   --set model.geometry.fd_fine_k=3 >> "$LOG" 2>&1
 
+# multi-emitter full test protocol on the converged checkpoint: the
+# in-process run just measured the single-light path (1 NVS + 1 relight
+# full render per view) on this same checkpoint — re-running the full
+# 32-view protocol with the multi-emitter chunk gives the view-for-view
+# timing AND a metric cross-check (parity is test-verified; this is the
+# production-scale confirmation).  --no-export: the mesh was already
+# exported by the in-process run.
+say "multi-emitter full test protocol (32 views)"
+TEST_CKPT_SAVE_DIR=/tmp/testck_multi timeout 10800 \
+  python scripts/test_ckpt.py "$CFG" "$CKPT" --no-export >> "$LOG" 2>&1
+
 say "ALL DONE"
