@@ -20,6 +20,7 @@ even under the eikonal/curvature second-order losses.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,7 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 LANES = 128
-CHUNK = 8192
+# env-overridable for the NaN-fault minimizer (scripts/nan_repro.py):
+# perturbing the stream chunk / manual unroll isolates whether the
+# graph-context-dependent miscompile tracks the kernel's loop structure
+CHUNK = int(os.environ.get("RISE_SCATTER_CHUNK", 8192))
+UNROLL = int(os.environ.get("RISE_SCATTER_UNROLL", 8))
+assert CHUNK % UNROLL == 0, (CHUNK, UNROLL)
 
 
 def _use_tpu() -> bool:
@@ -79,7 +85,7 @@ def pallas_scatter_add(idx, vals, table_size: int, interpret: bool = False):
                                     contrib)
             out_ref[pl.ds(row, 1), :] = out_ref[pl.ds(row, 1), :] + contrib
 
-        unroll = 8  # manual: Mosaic's fori_loop unroll only allows 1/full
+        unroll = UNROLL  # manual: Mosaic's fori_loop unroll allows 1/full
 
         def body(j, _):
             base = j * unroll

@@ -35,8 +35,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
-def build_system(out_dir, scatter="pallas"):
+def build_system(out_dir, scatter="pallas", overrides=()):
     from rise_sdf_tpu import datasets, systems
+    from rise_sdf_tpu.config import parse_cli_overrides
     from rise_sdf_tpu.presets import tiny_split_config
 
     cfg = tiny_split_config()
@@ -49,6 +50,11 @@ def build_system(out_dir, scatter="pallas"):
          "scatter_impl": scatter})
     cfg.model.merge({"num_samples_per_ray": 512, "train_num_rays": 1024,
                      "train_sample_capacity": 65536})
+    if overrides:
+        # graph perturbations for `minimize` (loss terms / secondary off
+        # / probe variants) — params structure must stay compatible with
+        # the dump, so only graph-shape knobs belong here
+        cfg.merge(parse_cli_overrides(list(overrides)))
     dm = datasets.make(cfg.dataset.name, cfg.dataset)
     system = systems.make(cfg.system.name, cfg, dm, save_dir=out_dir)
     return system
@@ -124,7 +130,8 @@ def replay(args):
 
     import jax
 
-    system = build_system("/tmp/nanrepro_replay", scatter=args.scatter)
+    system = build_system("/tmp/nanrepro_replay", scatter=args.scatter,
+                          overrides=args.override)
     state0 = system.init_state(0)  # structure template (+ builds tx)
     d = np.load(args.dump)
     step = int(d["__step"])
@@ -132,6 +139,8 @@ def replay(args):
     stage = None if stage < 0 else stage
     levels = int(d["__levels"])
     levels = None if levels < 0 else levels
+    if args.levels is not None:
+        levels = args.levels  # minimization: fewer open bands
     pf = bool(int(d["__prefilter"]))
     seed = int(d["__seed"])
     leaves, treedef = jax.tree_util.tree_flatten(state0)
@@ -141,12 +150,63 @@ def replay(args):
     rng = jax.random.PRNGKey(seed + 1)
     k = jax.random.fold_in(rng, 2 * step)
     step_fn = system.make_train_step(stage, levels=levels, prefilter=pf)
+    n_faults = 0
     for r in range(args.repeat):
         st = jax.tree_util.tree_map(jax.numpy.asarray, jax.device_get(state))
         new_state, aux = step_fn(st, k, data)
+        skipped = int(float(aux["skipped_nonfinite"]))
+        n_faults += skipped
         print(f"replay {r}: scatter={args.scatter} "
-              f"skipped={int(float(aux['skipped_nonfinite']))} "
+              f"skipped={skipped} "
               f"loss={float(aux['loss']):.5f}", flush=True)
+    print(f"REPLAY_RESULT faults={n_faults}/{args.repeat}", flush=True)
+
+
+# perturbation matrix for `minimize`: (label, env, extra replay args).
+# Kernel-side knobs isolate the Mosaic loop structure; graph-side knobs
+# strip components of the levels=7 backward graph until the fault
+# disappears — the smallest faulting arm is the upstream repro.
+MINIMIZE_ARMS = [
+    ("baseline-pallas", {}, []),
+    ("xla-control", {}, ["--scatter", "xla"]),
+    ("chunk-4096", {"RISE_SCATTER_CHUNK": "4096"}, []),
+    ("chunk-2048", {"RISE_SCATTER_CHUNK": "2048"}, []),
+    ("chunk-16384", {"RISE_SCATTER_CHUNK": "16384"}, []),
+    ("unroll-1", {"RISE_SCATTER_UNROLL": "1"}, []),
+    ("unroll-4", {"RISE_SCATTER_UNROLL": "4"}, []),
+    ("unroll-16", {"RISE_SCATTER_UNROLL": "16"}, []),
+    ("no-curvature", {},
+     ["--override", "system.loss.lambda_curvature=0.0"]),
+    ("no-secondary", {}, ["--override", "model.indirect_pred=false"]),
+    ("no-eikonal", {}, ["--override", "system.loss.lambda_eikonal=0.0"]),
+    ("levels-6", {}, ["--levels", "6"]),
+    ("levels-5", {}, ["--levels", "5"]),
+]
+
+
+def minimize(args):
+    import subprocess
+
+    results = {}
+    for label, env, extra in MINIMIZE_ARMS:
+        cmd = [sys.executable, os.path.abspath(__file__), "replay",
+               "--dump", args.dump, "--repeat", str(args.repeat)] + extra
+        e = dict(os.environ, **env)
+        print(f"=== arm {label}: {' '.join(cmd)} env={env}", flush=True)
+        try:
+            p = subprocess.run(cmd, env=e, capture_output=True, text=True,
+                               timeout=args.arm_timeout)
+            out = p.stdout + p.stderr
+        except subprocess.TimeoutExpired as ex:
+            out = (ex.stdout or "") + (ex.stderr or "") + "\nARM TIMEOUT"
+        tail = [ln for ln in out.splitlines() if ln.strip()][-6:]
+        print("\n".join("    " + ln for ln in tail), flush=True)
+        m = [ln for ln in out.splitlines()
+             if ln.startswith("REPLAY_RESULT")]
+        results[label] = m[-1] if m else "NO RESULT (crash/timeout)"
+    print("\n=== MINIMIZE SUMMARY ===", flush=True)
+    for label, r in results.items():
+        print(f"{label:20s} {r}", flush=True)
 
 
 def main():
@@ -161,9 +221,19 @@ def main():
     p.add_argument("--dump", required=True)
     p.add_argument("--scatter", default="pallas")
     p.add_argument("--repeat", type=int, default=5)
+    p.add_argument("--override", action="append", default=[],
+                   help="config dotlist override (graph perturbation)")
+    p.add_argument("--levels", type=int, default=None,
+                   help="override the static open-level count")
+    p = sub.add_parser("minimize")
+    p.add_argument("--dump", required=True)
+    p.add_argument("--repeat", type=int, default=3)
+    p.add_argument("--arm-timeout", type=int, default=1200)
     args = ap.parse_args()
     if args.cmd == "provoke":
         provoke(args)
+    elif args.cmd == "minimize":
+        minimize(args)
     else:
         replay(args)
 
