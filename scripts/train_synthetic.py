@@ -58,6 +58,12 @@ def main():
                     help="hash-table gradient scatter impl override "
                          "(NaN isolation: 'xla' bypasses the Pallas "
                          "kernel)")
+    ap.add_argument("--test", action="store_true",
+                    help="run the full test protocol (nvs + phys + "
+                         "albedo/roughness + relighting) after training; "
+                         "adds the 'warm' relight GT to the dataset")
+    ap.add_argument("--export", action="store_true",
+                    help="with --test: also export mesh + materials")
     ap.add_argument("--debug-nans", action="store_true",
                     help="jax_debug_nans: raise with a traceback at the "
                          "first NaN-producing op")
@@ -144,6 +150,9 @@ def main():
         ],
     }
 
+    if args.test and args.system == "split":
+        cfg.dataset.merge({"relight_list": ["warm"],
+                           "hdr_filepath": "/tmp/synthetic_envmaps"})
     if args.overrides:
         from rise_sdf_tpu.config import parse_cli_overrides
 
@@ -181,6 +190,13 @@ def main():
     print(f"total train time {time.time() - t0:.1f}s", flush=True)
     res = system.validate(state, n_images=2)
     print("FINAL", res, flush=True)
+    if args.test:
+        t1 = time.time()
+        if args.system == "split":
+            system.test(state, export=args.export)
+        else:
+            system.test(state)
+        print(f"test protocol time {time.time() - t1:.1f}s", flush=True)
     return res
 
 
