@@ -633,7 +633,7 @@ class NeuSSystem(BaseSystem):
         print(f"val/psnr = {mean_psnr:.3f}", flush=True)
         return {"psnr": mean_psnr}
 
-    def test(self, state):
+    def test(self, state, export: bool = True):
         split = self.datamodule.test()
         render_chunk = self.make_render_chunk(mesh=self.mesh)
         psnrs = []
@@ -661,7 +661,8 @@ class NeuSSystem(BaseSystem):
         print(f"test/psnr = {res['psnr']:.3f}", flush=True)
         self.saver.save_img_sequence(f"it{step}-test", f"it{step}-test",
                                      r"(\d+)\.png")
-        self.export(state)
+        if export:
+            self.export(state)
         return res
 
     # ------------------------------------------------------------------ #

@@ -63,7 +63,8 @@ def main():
                          "albedo/roughness + relighting) after training; "
                          "adds the 'warm' relight GT to the dataset")
     ap.add_argument("--export", action="store_true",
-                    help="with --test: also export mesh + materials")
+                    help="with --test: also export the mesh (+ materials "
+                         "for --system split)")
     ap.add_argument("--debug-nans", action="store_true",
                     help="jax_debug_nans: raise with a traceback at the "
                          "first NaN-producing op")
@@ -151,8 +152,10 @@ def main():
     }
 
     if args.test and args.system == "split":
+        # run-scoped envmap dir: a shared /tmp path could hand the emitter a
+        # stale EXR from an earlier run with a different env function
         cfg.dataset.merge({"relight_list": ["warm"],
-                           "hdr_filepath": "/tmp/synthetic_envmaps"})
+                           "hdr_filepath": os.path.join(args.out, "envmaps")})
     if args.overrides:
         from rise_sdf_tpu.config import parse_cli_overrides
 
@@ -192,10 +195,7 @@ def main():
     print("FINAL", res, flush=True)
     if args.test:
         t1 = time.time()
-        if args.system == "split":
-            system.test(state, export=args.export)
-        else:
-            system.test(state)
+        system.test(state, export=args.export)
         print(f"test protocol time {time.time() - t1:.1f}s", flush=True)
     return res
 
