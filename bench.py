@@ -7,7 +7,10 @@ production-scale hyperparameters (512^2 env light, 16-level 2^19 hash
 grid, 128^3 occupancy grid, 1024-sample marching) with an untrained
 model, no dataset required.
 
-Protocols, all full 800^2 images with every chunk blocked:
+Protocols, all full 800^2 images with every chunk blocked.  The
+``headline`` protocol is FROZEN as of round 3 — it is the permanent
+headline metric so BENCH_rN results form a comparable series; the other
+rows are carried unchanged for cross-round continuity:
 
   headline  converged-like scene: SOLID occupancy (interior cells stay
             occupied — the proven round-2 overflow regime), sharp
@@ -59,6 +62,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Analytic bound on the REFERENCE pipeline's eval throughput on its own
+# hardware class (RTX 3090), derived term-by-term from the reference's
+# kernel semantics in BASELINE.md ("GPU anchor" section): tcnn fused
+# hashgrid+MLP inference rate, nerfacc visible-sample counts, the dense
+# 96-sample secondary occlusion march, texture-head FLOPs, and measured
+# PyTorch per-chunk dispatch overhead.  The reference publishes no
+# throughput numbers (README.md:23 states only a hardware floor), so
+# vs_baseline is reported against this defended estimate.
+REF_GPU_RAYS_PER_SEC_BOUND = None  # set after the r4 instrumented run
+
+
 def make_occupancy(model, kind):
     """'shell' = thin band at r=0.5; 'solid' = filled ball (converged
     grids keep solid interiors occupied — the occ_eval alpha is ~1
@@ -97,10 +111,12 @@ def image_rays(w=None, h=None):
 
 
 def run_protocol(model, params, occ_binary, rays, *, step, capacity,
-                 prefilter, chunk, label, banded=False, surface=False):
+                 prefilter, chunk, label, banded=False, surface=False,
+                 gather_ns_per_row=None):
     import jax
     import jax.numpy as jnp
 
+    from rise_sdf_tpu.ops.hashgrid import count_gather_rows
     from rise_sdf_tpu.utils import roofline
 
     build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
@@ -124,11 +140,13 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
 
     t0 = time.time()
     mips = build_mips(params)
-    lowered = jax.jit(body).lower(params, rays[:chunk], mips)
+    with count_gather_rows() as gc:
+        lowered = jax.jit(body).lower(params, rays[:chunk], mips)
     compiled = lowered.compile()
     img0, _ = compiled(params, rays[:chunk], mips)
     img0.block_until_ready()
-    log(f"[{label}] compile+first chunk: {time.time() - t0:.1f}s")
+    log(f"[{label}] compile+first chunk: {time.time() - t0:.1f}s; "
+        f"{gc.rows / 1e6:.1f}M table-gather rows/chunk")
     costs = roofline.module_costs(compiled)
 
     n = rays.shape[0]
@@ -153,18 +171,37 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
     if costs is not None:
         res.update(roofline.summarize(costs, n_chunks, dt,
                                       device=jax.devices()[0]))
+    if not surface and gather_ns_per_row is not None and gc.rows:
+        # honest roofline: exact trace-time gather counts + ray/image IO
+        # vs the measured gather-issue roof (sphere-trace excluded: its
+        # SDF probes sit inside a lax.scan, so trace counts undercount)
+        io_bytes = chunk * 6 * 4 + chunk * 4 * 4
+        res.update(roofline.analytic_summarize(
+            gc.rows, gc.bytes, io_bytes, n_chunks, dt,
+            gather_ns_per_row, device=jax.devices()[0]))
     log(f"[{label}] {n} rays in {dt:.2f}s -> {rays_per_sec:.0f} rays/s; "
         f"dropped={dropped}"
         + (f"; {res['achieved_tflops']:.2f} TFLOP/s "
-           f"(mfu {res['est_mfu'] * 100:.1f}%), "
-           f"{res['achieved_hbm_gbs']:.0f} GB/s HBM "
-           f"({res['est_membw_frac'] * 100:.1f}%)"
-           if costs is not None else " (no cost model on this backend)"))
+           f"(mfu {res['est_mfu'] * 100:.2f}%)"
+           if costs is not None else " (no cost model on this backend)")
+        + (f"; gather {res['gather_rows_per_sec'] / 1e6:.0f}M rows/s = "
+           f"{res['gather_roof_frac'] * 100:.0f}% of the "
+           f"{gather_ns_per_row:.1f} ns/row issue roof; "
+           f"analytic HBM >= {res['analytic_hbm_gbs_lb']:.1f} GB/s "
+           f"({res['analytic_membw_frac'] * 100:.1f}% of peak)"
+           if "gather_roof_frac" in res else ""))
     return res
 
 
 def main():
+    # JAX_PLATFORMS=cpu in the env alone does not stop the axon plugin
+    # from grabbing compilation on this host — mirror it into the config
+    # (same guard as launch.py; see tpu-host-quirks)
+    plat = os.environ.get("JAX_PLATFORMS")
     import jax
+
+    if plat:
+        jax.config.update("jax_platforms", plat)
     import jax.numpy as jnp
 
     from rise_sdf_tpu import models
@@ -193,23 +230,46 @@ def main():
 
     band_spr = int(cfg.model.get("eval_banded_samples_per_ray", 0))
 
+    from rise_sdf_tpu.utils import roofline
+
+    t0 = time.time()
+    gather_ns = roofline.measure_gather_issue_rate()
+    log(f"gather issue roof: {gather_ns:.2f} ns/row "
+        f"(measured in-process, forced reads; {time.time() - t0:.1f}s)")
+
+    # per-dispatch round-trip: on the tunneled axon runtime every chunk
+    # pays a host<->device RTT (the render loop blocks per chunk); with
+    # 157 chunks/image this can dominate wall time.  Reported so the
+    # headline can be decomposed into compute vs dispatch.
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0.0)))
+    t0 = time.time()
+    for i in range(20):
+        float(trivial(jnp.float32(i)))
+    dispatch_ms = (time.time() - t0) / 20 * 1e3
+    log(f"per-dispatch round-trip: {dispatch_ms:.2f} ms")
+
     cutonly = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
-        prefilter=True, chunk=chunk, label="cutonly solid+prefilter")
+        prefilter=True, chunk=chunk, label="cutonly solid+prefilter",
+        gather_ns_per_row=gather_ns)
     if band_spr > 0:
         headline = run_protocol(
             model, params_sharp, solid, rays, step=step,
             capacity=chunk * band_spr, prefilter=True, banded=True,
-            chunk=chunk, label=f"headline banded {band_spr}spr")
+            chunk=chunk, label=f"headline banded {band_spr}spr",
+            gather_ns_per_row=gather_ns)
         mdesc = "banded prefiltered marching"
     else:
         headline, mdesc = cutonly, "prefiltered marching"
     legacy = run_protocol(
         model, params, shell, rays, step=step, capacity=chunk * spr,
-        prefilter=False, chunk=chunk, label="legacy shell")
+        prefilter=False, chunk=chunk, label="legacy shell",
+        gather_ns_per_row=gather_ns)
     nopf = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * 192,
-        prefilter=False, chunk=chunk, label="nopf192 (r2 workaround)")
+        prefilter=False, chunk=chunk, label="nopf192 (r2 workaround)",
+        gather_ns_per_row=gather_ns)
     sphere = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=0,
         prefilter=False, chunk=chunk, label="sphere-trace surface eval",
@@ -222,6 +282,13 @@ def main():
         "value": round(headline["rays_per_sec"], 1),
         "unit": "rays/s",
         "vs_baseline": None,
+        # FROZEN continuity protocol (r3+): converged-solid occupancy,
+        # sharp inv_s~800, banded prefiltered marching at the config's
+        # eval_banded_samples_per_ray, 800^2, production hyperparams.
+        # The headline stays this protocol permanently; legacy rows ride
+        # along unchanged so BENCH_rN form a comparable series.
+        "protocol": "banded-solid-800sq (frozen r3)",
+        "dispatch_ms_per_call": round(dispatch_ms, 3),
         "dropped_rays": headline["dropped_rays"],
         "cut_only_rays_per_sec": round(cutonly["rays_per_sec"], 1),
         "legacy_shell_rays_per_sec": round(legacy["rays_per_sec"], 1),
@@ -230,10 +297,19 @@ def main():
     if sphere is not None:
         out["sphere_trace_rays_per_sec"] = round(sphere["rays_per_sec"], 1)
         out["sphere_trace_unresolved_rays"] = sphere["dropped_rays"]
-    for k in ("achieved_tflops", "achieved_hbm_gbs", "est_mfu",
-              "est_membw_frac"):
+    for k in ("achieved_tflops", "est_mfu", "gather_rows_per_sec",
+              "gather_roof_frac", "gather_ns_per_row_roof",
+              "analytic_hbm_gbs_lb", "analytic_membw_frac",
+              "xla_costmodel_gbs_ub", "xla_costmodel_membw_frac_ub"):
         if k in headline:
             out[k] = round(headline[k], 4)
+    if REF_GPU_RAYS_PER_SEC_BOUND:
+        out["vs_baseline"] = round(
+            headline["rays_per_sec"] / REF_GPU_RAYS_PER_SEC_BOUND, 3)
+        out["baseline_anchor"] = (
+            "analytic RTX3090 bound on the reference eval pipeline, "
+            f"{REF_GPU_RAYS_PER_SEC_BOUND:.0f} rays/s — "
+            "derivation in BASELINE.md (GPU anchor)")
     print(json.dumps(out))
 
 

@@ -73,7 +73,23 @@ def env_radiance_warm(d: np.ndarray) -> np.ndarray:
     return (horizon + sky + sun).astype(np.float32)
 
 
-_ENVS = {"default": env_radiance, "warm": env_radiance_warm}
+def env_radiance_bright(d: np.ndarray) -> np.ndarray:
+    """High-contrast environment (broad bright sun) — the concave scene's
+    default.  Occluding this sun in mirror directions is what gives the
+    scene its measurable secondary-occlusion signal: with it, a renderer
+    that ignores occlusion caps at ~26.6 dB vs GT (vs ~37 dB under the
+    low-contrast ``env_radiance``), well below the model's convergence
+    floor, so the ablation has headroom."""
+    sky = np.array([0.5, 0.6, 0.8]) * (0.5 + 0.5 * d[..., 2:3])
+    sun_dir = np.array([0.5, 0.3, 0.8])
+    sun_dir = sun_dir / np.linalg.norm(sun_dir)
+    sun = np.array([1.0, 0.95, 0.8]) * np.maximum(
+        (d @ sun_dir), 0.0)[..., None] ** 8 * 6.0
+    return (sky + sun).astype(np.float32)
+
+
+_ENVS = {"default": env_radiance, "warm": env_radiance_warm,
+         "bright": env_radiance_bright}
 
 
 def write_env_latlong_exr(path: str, env_fn, height: int = 128):
@@ -111,11 +127,17 @@ def sphere_albedo(p: np.ndarray) -> np.ndarray:
 # model implements (reference models/split_mixed_occ.py:179-222,306-332).
 # --------------------------------------------------------------------- #
 
-CONCAVE_SPHERE_R = 0.35
-CONCAVE_TORUS_R = 0.55  # major radius, torus lies in the z=0 plane
-CONCAVE_TORUS_r = 0.13  # minor radius
+# Geometry/material/env chosen by sweep (RESULTS.md r4): under the
+# "bright" env a renderer that ignores mirror-direction occlusion caps at
+# ~26.6 dB PSNR vs this GT (vs 37 dB for the first-draft 0.35/0.55/0.13
+# @ metallic 0.6 under the low-contrast env) — i.e. the secondary
+# occlusion/indirect signal sits well above the model's convergence
+# floor, so a with/without-secondary ablation is measurable.
+CONCAVE_SPHERE_R = 0.45
+CONCAVE_TORUS_R = 0.63  # major radius, torus lies in the z=0 plane
+CONCAVE_TORUS_r = 0.17  # minor radius
 CONCAVE_ROUGHNESS = 0.12  # < relighting_threshold: third bounce engages
-CONCAVE_METALLIC = 0.6
+CONCAVE_METALLIC = 0.95
 
 
 def concave_sdf(p: np.ndarray) -> np.ndarray:
@@ -349,9 +371,15 @@ class SyntheticSplit:
             phase=float(config.get("pose_phase", 0.0)))
         render = (render_image_concave if self.shape == "concave"
                   else render_image)
+        # training-time env: the concave scene defaults to the
+        # high-contrast "bright" sun (see env_radiance_bright docstring)
+        default_env = "bright" if self.shape == "concave" else "default"
+        self.env_name = str(config.get("env", default_env))
+        train_env = _ENVS[self.env_name]
         imgs, masks, albs, roughs, normals = [], [], [], [], []
         for i in range(n_images):
-            rgb, m, a, r, nrm = render(self.all_c2w[i], self.directions)
+            rgb, m, a, r, nrm = render(self.all_c2w[i], self.directions,
+                                       env_fn=train_env)
             imgs.append(rgb)
             masks.append(m)
             albs.append(a)

@@ -31,6 +31,41 @@ import numpy as np
 # instant-ngp spatial hash primes
 _PRIMES = (1, 2654435761, 805459861)
 
+# --------------------------------------------------------------------- #
+# Trace-time gather accounting.  All table reads funnel through
+# ``HashGridEncoding._lookup``; shapes are static under jit, so counting
+# rows while *tracing* yields the exact per-execution gather volume of
+# the compiled graph (bench.py's roofline uses this as the analytic
+# post-fusion traffic floor — XLA's cost_analysis bytes are pre-fusion
+# and overcount by >6x, VERDICT r3).  Not thread-safe; tracing here is
+# single-threaded.  NOTE: an encode inside a lax.scan body would be
+# counted once, not per iteration — no such path exists for the volume
+# renderers (only ops/sphere_trace.py scans over SDF probes; its
+# callers must scale by n_iters or skip the traffic model).
+# --------------------------------------------------------------------- #
+_GATHER_TRACE: Dict[str, int] = {}
+
+
+class count_gather_rows:
+    """Context manager: accumulate hash-table gather rows/bytes seen
+    while tracing (use around ``jax.jit(f).lower(...)``)."""
+
+    def __init__(self):
+        self.rows = 0
+        self.bytes = 0
+
+    def __enter__(self):
+        _GATHER_TRACE["rows"] = 0
+        _GATHER_TRACE["bytes"] = 0
+        _GATHER_TRACE["on"] = 1
+        return self
+
+    def __exit__(self, *exc):
+        self.rows = _GATHER_TRACE.get("rows", 0)
+        self.bytes = _GATHER_TRACE.get("bytes", 0)
+        _GATHER_TRACE.clear()
+        return False
+
 
 class HashGridEncoding:
     def __init__(self, in_channels: int, config: Dict[str, Any]):
@@ -102,6 +137,11 @@ class HashGridEncoding:
         """``table_l[flat]`` whose table-gradient uses the Pallas
         scatter-add kernel on TPU (first-order in the table — safe here,
         position gradients flow through the interpolation weights)."""
+        if _GATHER_TRACE.get("on"):
+            n = int(np.prod(flat.shape))
+            _GATHER_TRACE["rows"] += n
+            _GATHER_TRACE["bytes"] += (n * int(table_l.shape[-1])
+                                       * table_l.dtype.itemsize)
         if self._scatter_mode is None:
             impl = self.scatter_impl
             interp = False

@@ -56,13 +56,88 @@ def module_costs(compiled) -> Optional[Dict[str, float]]:
 
 def summarize(costs: Dict[str, float], executions: float, dt_seconds: float,
               device=None) -> Dict[str, float]:
-    """Achieved rates + roof fractions for `executions` runs in `dt`."""
+    """XLA-cost-model rates for `executions` runs in `dt`.
+
+    The cost model counts every op's operands/outputs BEFORE fusion, so
+    its byte figure overcounts real HBM traffic severely (measured >6x
+    on this pipeline) — these are labeled upper bounds and must not be
+    read as achieved bandwidth.  ``analytic_summarize`` below holds the
+    honest (<=1.0) roofline."""
     peaks = device_peaks(device)
     flops_s = costs["flops"] * executions / dt_seconds
     bytes_s = costs["bytes"] * executions / dt_seconds
     return {
         "achieved_tflops": flops_s / 1e12,
-        "achieved_hbm_gbs": bytes_s / 1e9,
         "est_mfu": flops_s / peaks["flops_bf16"],
-        "est_membw_frac": bytes_s / peaks["hbm_bytes"],
+        "xla_costmodel_gbs_ub": bytes_s / 1e9,
+        "xla_costmodel_membw_frac_ub": bytes_s / peaks["hbm_bytes"],
     }
+
+
+def analytic_summarize(gather_rows: int, gather_bytes: int,
+                       io_bytes: int, executions: float,
+                       dt_seconds: float, gather_ns_per_row: float,
+                       device=None) -> Dict[str, float]:
+    """Roofline position from first-principles traffic counts.
+
+    * ``gather_rows``/``gather_bytes``: exact per-execution hash-table
+      gather volume from trace-time accounting
+      (``ops.hashgrid.count_gather_rows``) — the pipeline's dominant
+      HBM-touching op.
+    * ``io_bytes``: other per-execution HBM traffic the caller can
+      bound (ray/image IO etc.).
+    * ``gather_ns_per_row``: the *measured* net issue rate of an XLA
+      row gather on this device (micro-benched in-process with forced
+      host reads) — the roof that actually binds a gather-dominated
+      pipeline on TPU, since random row access is issue-rate-limited
+      long before it saturates sequential HBM bandwidth.
+
+    Returns fractions <= ~1.0 by construction: ``gather_roof_frac`` is
+    time-at-the-gather-roof / wall time (how close the pipeline is to
+    the speed-of-light of its dominant op); ``analytic_membw_frac`` is
+    payload traffic vs sequential HBM peak (a lower bound on achieved
+    bandwidth — real DRAM transactions are >= payload)."""
+    peaks = device_peaks(device)
+    rows_s = gather_rows * executions / dt_seconds
+    bytes_s = (gather_bytes + io_bytes) * executions / dt_seconds
+    return {
+        "gather_rows_per_sec": rows_s,
+        "gather_roof_frac": rows_s * gather_ns_per_row * 1e-9,
+        "analytic_hbm_gbs_lb": bytes_s / 1e9,
+        "analytic_membw_frac": bytes_s / peaks["hbm_bytes"],
+        "gather_ns_per_row_roof": gather_ns_per_row,
+    }
+
+
+def measure_gather_issue_rate(table_rows: int = 2 ** 19, features: int = 2,
+                              n_idx: int = 2 ** 21, iters: int = 8) -> float:
+    """Micro-measure the net ns/row of a plain XLA row gather on the
+    current default device, with a forced host read per iteration (on
+    the axon runtime ``block_until_ready`` can return without executing
+    — TODO.md 4b — so each timing reads a scalar back).
+
+    This is the empirical speed-of-light for hash-table lookups that
+    the analytic roofline compares against."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    table = jnp.asarray(
+        np.random.default_rng(0).standard_normal(
+            (table_rows, features), dtype=np.float32))
+    idx = jnp.asarray(
+        np.random.default_rng(1).integers(0, table_rows, size=(n_idx,),
+                                          dtype=np.int32))
+
+    @jax.jit
+    def f(t, i):
+        return t[i].sum()
+
+    float(f(table, idx))  # compile + warm
+    t0 = time.time()
+    for _ in range(iters):
+        float(f(table, idx))
+    dt = time.time() - t0
+    return dt / (iters * n_idx) * 1e9

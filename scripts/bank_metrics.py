@@ -7,7 +7,10 @@ log for `val:`/`FINAL`/`test:` metric lines (systems/split_occ.py:455,724,
 scripts/train_synthetic.py:195) plus watchdog events, rewrites the run's
 section in RESULTS.md, and commits iff the section changed.
 
-Usage: python scripts/bank_metrics.py <logfile> <tag> [--no-commit]
+Usage: python scripts/bank_metrics.py <logfile> <tag> [--no-commit] [--raw]
+
+``--raw`` banks the whole file instead of pattern-matched lines (for
+already-trimmed logs like the NaN-minimizer summary).
 
 Idempotent and safe to run on a timer: a run's section is replaced
 in-place between its BEGIN/END markers; only RESULTS.md is staged.
@@ -40,18 +43,33 @@ PATTERNS = [
     re.compile(r"^total train time"),
     re.compile(r"^resumed from "),
     re.compile(r"^WATCHDOG:"),
+    re.compile(r"^QUEUE\["),
     re.compile(r"^overrides:"),
     re.compile(r"^calibrated eval compaction"),
     re.compile(r"^step \d+\[s\d\].*skipped_nonfinite"),
+    # bench.py: the one-line JSON result + roofline stderr summaries
+    re.compile(r"^\{\"metric\""),
+    re.compile(r"^=== "),
+    re.compile(r"^gather issue roof"),
+    re.compile(r"^per-dispatch round-trip"),
+    re.compile(r"^\[.*\] \d+ rays in "),
+    # validate_ckpt.py
+    re.compile(r"^loaded .* at step"),
+    re.compile(r"^validate \("),
+    # nan_repro.py provoke/minimize verdict lines
+    re.compile(r"^(FAULT|PROVOKE|MINIMIZE|REPLAY|VERDICT)", re.I),
+    re.compile(r"skipped_nonfinite"),
 ]
 # context line printed right before each val so the step is recorded
 STEP_RE = re.compile(r"^step (\d+)\[")
 
 
-def scrape(log_path: str) -> str:
+def scrape(log_path: str, raw: bool = False) -> str:
     kept = []
     last_step = None
     with open(log_path, errors="replace") as f:
+        if raw:
+            return f.read().rstrip("\n")
         for line in f:
             line = line.rstrip("\n")
             m = STEP_RE.match(line)
@@ -69,7 +87,7 @@ def scrape(log_path: str) -> str:
 def main():
     log_path, tag = sys.argv[1], sys.argv[2]
     commit = "--no-commit" not in sys.argv
-    body = scrape(log_path)
+    body = scrape(log_path, raw="--raw" in sys.argv)
     if not body:
         return
     begin = f"<!-- BEGIN {tag} -->"

@@ -80,6 +80,10 @@ def main():
                     help="dotlist config override applied last (repeatable; "
                          "e.g. --set model.geometry.curvature_probe_frac=0.25"
                          " for perf/quality A/Bs)")
+    ap.add_argument("--dump-config-only", action="store_true",
+                    help="write <out>/parsed.yaml for these args and exit "
+                         "(reconstructs the config of an already-finished "
+                         "run for validate_ckpt.py)")
     args = ap.parse_args()
 
     from rise_sdf_tpu import datasets, systems
@@ -166,6 +170,16 @@ def main():
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    # dump the resolved config so validate_ckpt.py / post-hoc A/Bs can
+    # rebuild this exact model around any checkpoint from this run
+    from rise_sdf_tpu.config import dump_config
+
+    os.makedirs(args.out, exist_ok=True)
+    dump_config(cfg, os.path.join(args.out, "parsed.yaml"))
+    if args.dump_config_only:
+        print(f"wrote {os.path.join(args.out, 'parsed.yaml')}", flush=True)
+        return None
+
     dm = datasets.make(cfg.dataset.name, cfg.dataset)
     system = systems.make(cfg.system.name, cfg, dm, save_dir=args.out)
     state = None
