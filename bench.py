@@ -70,7 +70,9 @@ def log(*a):
 # PyTorch per-chunk dispatch overhead.  The reference publishes no
 # throughput numbers (README.md:23 states only a hardware floor), so
 # vs_baseline is reported against this defended estimate.
-REF_GPU_RAYS_PER_SEC_BOUND = None  # set after the r4 instrumented run
+REF_GPU_RAYS_PER_SEC_BOUND = 300_000.0  # defended 3090 estimate; see
+# BASELINE.md "GPU anchor": speed-of-light 1.5M (kernels only), typical
+# measured class 20-130k; 300k = optimized-reference midpoint.
 
 
 def make_occupancy(model, kind):
