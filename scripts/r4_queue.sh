@@ -64,10 +64,19 @@ run_bench() {  # run_bench <tag> [overrides...]
     timeout 3600 python bench.py "$@" 2>&1; } >> /tmp/r4bench.log
   bank /tmp/r4bench.log r4bench
 }
+# row-volume attribution (CPU trace, r4): the coarse visibility probe
+# is 55% of all table gathers (33.5M of 61.3M rows/chunk) and its
+# static 64-probes/ray capacity is ~78% padding on the converged scene
+# (~14 real probes/ray) — so probe-capacity/stride arms are the
+# highest-leverage throughput knobs, then dispatch amortization (chunk)
+# and band width.
 run_bench headline
-run_bench chunk8k  model.ray_chunk=8192
+run_bench coarse24 model.prefilter_coarse_per_ray=24
+run_bench stride8  model.prefilter_stride=8 model.prefilter_coarse_per_ray=32
 run_bench chunk16k model.ray_chunk=16384
 run_bench band8    model.eval_banded_samples_per_ray=8
+run_bench combo    model.ray_chunk=16384 model.prefilter_coarse_per_ray=24 \
+                   model.eval_banded_samples_per_ray=8
 
 # ---- G: eval-mode A/B on the converged r4mini checkpoint ----
 say "stage G: banded vs sphere-trace on r4mini ckpt"
@@ -84,7 +93,11 @@ if [ -f "$CKPT" ] && [ -f "$PARSED" ]; then
     timeout 3600 python scripts/validate_ckpt.py "$PARSED" "$CKPT" 4 2>&1
     echo "=== validate sphere_trace ==="
     timeout 3600 python scripts/validate_ckpt.py "$PARSED" "$CKPT" 4 \
-      model.eval_mode=sphere_trace 2>&1; } >> /tmp/r4evalab.log
+      model.eval_mode=sphere_trace 2>&1
+    echo "=== validate banded8 + coarse24 (quality parity for the bench arms) ==="
+    timeout 3600 python scripts/validate_ckpt.py "$PARSED" "$CKPT" 4 \
+      model.eval_banded_samples_per_ray=8 \
+      model.prefilter_coarse_per_ray=24 2>&1; } >> /tmp/r4evalab.log
   bank /tmp/r4evalab.log r4evalab
 else
   say "stage G skipped: no r4mini ckpt/parsed.yaml"
