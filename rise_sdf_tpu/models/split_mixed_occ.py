@@ -76,6 +76,15 @@ class SplitMixedOccModel:
         # cell-center sampling slop, stretched by eikonal residual
         self.st_guard_margin = float(
             config.get("sphere_trace_guard_margin_cells", 4.0))
+        # clearance gate on the guard: a MISS whose minimum SDF along
+        # the whole trace stayed above k/inv_s carries no NeuS weight
+        # mass anywhere on the ray — the volumetric fallback would
+        # return background identically — so occupied cells it crossed
+        # are grid dilation (the ~2-cell silhouette shell), not
+        # tunneling.  r3's 13% unresolved-ray population was almost
+        # entirely this shell; 0 disables.
+        self.st_sdf_clearance = float(
+            config.get("sphere_trace_sdf_clearance", 4.0))
         self.cos_anneal_end = int(config.get("cos_anneal_end", 0))
         self.randomized = bool(config.get("randomized", True))
         self.split_sum_kick_in_step = int(config.get("split_sum_kick_in_step", 0))
@@ -754,6 +763,20 @@ class SplitMixedOccModel:
             margin = self.st_guard_margin * cell / jnp.clip(cos, 0.15, 1.0)
             limit = jnp.where(hit, res.t_hit - margin, t_far + 1.0)
             suspect = (occ & (ts < limit[:, None])).any(-1)
+            if self.st_sdf_clearance > 0:
+                # clearance gate (see __init__): misses whose closest
+                # approach clears k/inv_s PLUS half a marching step have
+                # zero weight mass along the entire ray (the NeuS
+                # midpoint estimator extends each section by cos*step/2,
+                # so a bare sdf_min > k/inv_s still picks up silhouette
+                # alpha), so the occupied cells they crossed are the
+                # dilation shell — don't send them to the volumetric
+                # fallback it would agree with anyway
+                inv_s = self.variance.inv_s(params["variance"], step)
+                clear_miss = (~hit) & (
+                    (res.sdf_min - 0.5 * self.render_step_size) * inv_s
+                    > self.st_sdf_clearance)
+                suspect = suspect & ~clear_miss
             included = included & ~suspect
         return {"res": res, "hit": hit, "included": included, "pos": pos,
                 "normal": normal, "geo": geo}

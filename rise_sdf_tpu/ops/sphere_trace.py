@@ -31,6 +31,12 @@ class TraceResult(NamedTuple):
     #                             iterations inside the volume and need
     #                             the volumetric fallback
     sdf_last: jnp.ndarray   # [R] SDF value at t_hit (diagnostic)
+    sdf_min: jnp.ndarray    # [R] minimum SDF seen over every probe of
+    #                             the trace — a MISS ray's closest
+    #                             approach; sdf_min * inv_s >> 1 means
+    #                             the ray carries no NeuS weight mass
+    #                             anywhere (used by the occupancy
+    #                             tunneling guard's clearance gate)
 
 
 def sphere_trace(rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
@@ -56,7 +62,7 @@ def sphere_trace(rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
     s0 = jnp.where(inside, probe(t0), jnp.inf)
 
     def step(carry, _):
-        t, s, t_lo, s_lo, done = carry
+        t, s, t_lo, s_lo, s_min, done = carry
         arrived = s < hit_eps          # includes overshoot (s < 0)
         done_now = done | arrived | (t > t_far)
         # last strictly-positive probe becomes the bracket floor
@@ -65,11 +71,12 @@ def sphere_trace(rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
         s_lo = jnp.where(adv, s, s_lo)
         t_new = jnp.where(adv, t + relax * s, t)
         s_new = jnp.where(done_now, s, probe(t_new))
-        return (t_new, s_new, t_lo, s_lo, done_now | done), None
+        return (t_new, s_new, t_lo, s_lo, jnp.minimum(s_min, s_new),
+                done_now | done), None
 
-    carry = (t0, s0, t0, s0, ~inside)
+    carry = (t0, s0, t0, s0, s0, ~inside)
     carry, _ = jax.lax.scan(step, carry, None, length=n_iters)
-    t, s, t_lo, s_lo, _ = carry
+    t, s, t_lo, s_lo, s_min, _ = carry
 
     # refinement: false position on bracketed crossings (s_lo > 0 > s);
     # arrivals that stopped short (0 <= s < hit_eps, never crossed)
@@ -105,4 +112,5 @@ def sphere_trace(rays_o: jnp.ndarray, rays_d: jnp.ndarray, *,
     hit = inside & (s < hit_eps) & (t <= t_far)
     exited = t > t_far
     converged = ~inside | hit | exited
-    return TraceResult(t_hit=t, hit=hit, converged=converged, sdf_last=s)
+    return TraceResult(t_hit=t, hit=hit, converged=converged, sdf_last=s,
+                       sdf_min=jnp.minimum(s_min, s))

@@ -178,8 +178,13 @@ def test_occ_guard_flags_suspect_rays():
     guard must flag ALL of them for the volumetric residual; with the
     guard off, converged rays stay included.  With a tight shell grid
     hugging the true surface, hit rays stay included (the occupancy
-    dilation sits inside the 3-cell margin)."""
-    model, params, occ_full, rays = _setup(**{"variance.init_val": 0.9})
+    dilation sits inside the 3-cell margin).
+
+    The SDF-clearance gate is disabled here to pin the *conservative*
+    guard contract (every miss through occupied space flagged); the
+    gate's own contract is test_clearance_gate_passes_clear_misses."""
+    model, params, occ_full, rays = _setup(
+        **{"variance.init_val": 0.9, "sphere_trace_sdf_clearance": 0.0})
     out = _surface(model, params, occ_full, rays)
     inc_full = np.asarray(out["ray_included"])
     miss = np.asarray(out["opacity"][:, 0]) <= 0.5
@@ -236,6 +241,66 @@ def test_occ_guard_flags_suspect_rays():
     assert solid.any()
     assert inc[solid].mean() > 0.95
     assert inc[hit].mean() > 0.5
+
+
+def test_clearance_gate_passes_clear_misses():
+    """The guard's SDF-clearance gate (default on): a MISS whose
+    closest approach satisfies sdf_min * inv_s > k carries no NeuS
+    weight mass anywhere on the ray, so the occupied cells it crossed
+    are grid dilation, not tunneling — it must stay *included* (these
+    rays were r3's 13% needless-fallback population).  Near misses
+    (small sdf_min) stay conservatively flagged.  Physics check: the
+    volumetric render the gate skips would indeed return ~background
+    (opacity < 1 - sigmoid(k)) on every gated ray.
+
+    The near-miss band (hit_eps < sdf_min <= k/inv_s) is only nonempty
+    when k/inv_s exceeds the trace's hit_eps, so this runs at a
+    moderate sharpness (inv_s ~ 150 -> band ~0.026 wide) and scans a
+    dense strip of parallel rays across the silhouette so hits, near
+    misses, and clear misses all appear."""
+    model, params, occ_full, _ = _setup(
+        **{"variance.init_val": 0.5, "num_samples_per_ray": 512})
+    assert model.st_sdf_clearance > 0  # default-on
+    step = jnp.asarray(20, jnp.int32)
+    n = 200
+    x = jnp.linspace(0.75, 1.15, n)
+    o = jnp.stack([x, jnp.zeros(n), jnp.full((n,), -4.0)], -1)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    rays = jnp.concatenate([o, d], -1)
+
+    res = sphere_trace(
+        o, d,
+        sdf_fn=lambda p: model.geometry.sdf(params["geometry"], p, step),
+        aabb_min=model.aabb_min, aabb_max=model.aabb_max,
+        n_iters=model.st_iters, refine_iters=model.st_refine,
+        hit_eps=model.st_hit_eps, relax=model.st_relax)
+    inv_s = float(model.variance.inv_s(params["variance"], step))
+    hit = np.asarray(res.hit)
+    conv = np.asarray(res.converged)
+    # the model's gate: clearance beyond k/inv_s + half a marching step
+    # (the NeuS midpoint estimator's section extension)
+    sclr = (np.asarray(res.sdf_min) - 0.5 * model.render_step_size) * inv_s
+    clear = ~hit & conv & (sclr > model.st_sdf_clearance)
+    near = ~hit & conv & ~(sclr > model.st_sdf_clearance)
+    assert hit.any() and clear.any() and near.any()
+
+    out = _surface(model, params, occ_full, rays)
+    inc = np.asarray(out["ray_included"])
+    assert inc[clear].all()
+    assert not inc[near].any()
+    # physics: the fallback the gate skips agrees — volumetric opacity
+    # on gated rays is bounded by the transmittance floor the gate
+    # guarantees (sigmoid(k) never crossed; sampled min sdf >= traced
+    # min, so this holds at any sampling density)
+    mips = model.emitter.build_mips(params["emitter"])
+    out_v = model.forward(
+        params, rays, occ_binary=occ_full, mips=mips, step=step,
+        rng=None, stage=1, train=False, capacity=98304,
+        background_color=jnp.ones((3,)))
+    assert bool(out_v["ray_included"].all()), "volumetric overflow"
+    op_v = np.asarray(out_v["opacity"][:, 0])
+    bound = 1.0 - 1.0 / (1.0 + np.exp(-model.st_sdf_clearance))
+    assert op_v[clear].max() < bound + 3e-3
 
 
 def test_surface_residual_merges_volumetric_rows(tmp_path):
