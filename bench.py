@@ -234,15 +234,11 @@ def main():
 
     from rise_sdf_tpu.utils import roofline
 
-    t0 = time.time()
-    gather_ns = roofline.measure_gather_issue_rate()
-    log(f"gather issue roof: {gather_ns:.2f} ns/row "
-        f"(measured in-process, forced reads; {time.time() - t0:.1f}s)")
-
     # per-dispatch round-trip: on the tunneled axon runtime every chunk
     # pays a host<->device RTT (the render loop blocks per chunk); with
     # 157 chunks/image this can dominate wall time.  Reported so the
-    # headline can be decomposed into compute vs dispatch.
+    # headline can be decomposed into compute vs dispatch, and measured
+    # FIRST so the gather-roof micro-bench can subtract it per call.
     trivial = jax.jit(lambda x: x + 1.0)
     float(trivial(jnp.float32(0.0)))
     t0 = time.time()
@@ -250,6 +246,13 @@ def main():
         float(trivial(jnp.float32(i)))
     dispatch_ms = (time.time() - t0) / 20 * 1e3
     log(f"per-dispatch round-trip: {dispatch_ms:.2f} ms")
+
+    t0 = time.time()
+    gather_ns = roofline.measure_gather_issue_rate(
+        dispatch_s=dispatch_ms / 1e3)
+    log(f"gather issue roof: {gather_ns:.2f} ns/row (measured in-process,"
+        f" forced reads, 24-deep dependent chain per dispatch;"
+        f" {time.time() - t0:.1f}s)")
 
     cutonly = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,

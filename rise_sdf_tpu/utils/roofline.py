@@ -110,14 +110,28 @@ def analytic_summarize(gather_rows: int, gather_bytes: int,
 
 
 def measure_gather_issue_rate(table_rows: int = 2 ** 19, features: int = 2,
-                              n_idx: int = 2 ** 21, iters: int = 8) -> float:
+                              n_idx: int = 2 ** 21, iters: int = 4,
+                              chain: int = 24,
+                              dispatch_s: float = 0.0) -> float:
     """Micro-measure the net ns/row of a plain XLA row gather on the
-    current default device, with a forced host read per iteration (on
-    the axon runtime ``block_until_ready`` can return without executing
-    — TODO.md 4b — so each timing reads a scalar back).
+    current default device.
+
+    ``chain`` serially-dependent gathers run inside ONE jitted call
+    (each iteration's indices are derived from the previous gather's
+    values, so XLA can neither elide nor batch them), and one forced
+    host read per call closes the timing (on the axon runtime
+    ``block_until_ready`` can return without executing — TODO.md 4b).
+    Chaining matters: a single 2^21-row gather per dispatch costs less
+    device time than the host<->device round-trip on a tunneled
+    runtime (~29 ms ≈ 14 ns/row of pure dispatch), which r3's
+    one-gather-per-call version mis-attributed to the gather itself —
+    inflating the "roof" to 19 ns/row and making the in-pipeline
+    gathers (inside large fused chunk programs) appear to beat it at
+    226%.  ``dispatch_s`` (the separately measured per-call round-trip)
+    is subtracted from each call's wall time before dividing.
 
     This is the empirical speed-of-light for hash-table lookups that
-    the analytic roofline compares against."""
+    the analytic roofline compares against; min over ``iters`` calls."""
     import time
 
     import jax
@@ -132,12 +146,22 @@ def measure_gather_issue_rate(table_rows: int = 2 ** 19, features: int = 2,
                                           dtype=np.int32))
 
     @jax.jit
-    def f(t, i):
-        return t[i].sum()
+    def f(t, i0):
+        def body(_, carry):
+            s, i = carry
+            g = t[i]
+            s = s + g.sum()
+            # next indices depend on this gather's values -> serial chain
+            i = (i + 1 + (g[:, 0] > 0.0).astype(jnp.int32)) % table_rows
+            return s, i
+        s, _ = jax.lax.fori_loop(
+            0, chain, body, (jnp.zeros((), jnp.float32), i0))
+        return s
 
     float(f(table, idx))  # compile + warm
-    t0 = time.time()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.time()
         float(f(table, idx))
-    dt = time.time() - t0
-    return dt / (iters * n_idx) * 1e9
+        best = min(best, time.time() - t0)
+    return max(best - dispatch_s, 1e-9) / (chain * n_idx) * 1e9
