@@ -254,6 +254,11 @@ def main():
         f" forced reads, 24-deep dependent chain per dispatch;"
         f" {time.time() - t0:.1f}s)")
 
+    # RISE_BENCH_FAST=1: headline-protocol rows only (cutonly + banded
+    # headline) for quick config-arm A/Bs; the official driver run stays
+    # the full 5-protocol suite.
+    fast = os.environ.get("RISE_BENCH_FAST", "") not in ("", "0")
+
     cutonly = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
         prefilter=True, chunk=chunk, label="cutonly solid+prefilter",
@@ -267,18 +272,20 @@ def main():
         mdesc = "banded prefiltered marching"
     else:
         headline, mdesc = cutonly, "prefiltered marching"
-    legacy = run_protocol(
-        model, params, shell, rays, step=step, capacity=chunk * spr,
-        prefilter=False, chunk=chunk, label="legacy shell",
-        gather_ns_per_row=gather_ns)
-    nopf = run_protocol(
-        model, params_sharp, solid, rays, step=step, capacity=chunk * 192,
-        prefilter=False, chunk=chunk, label="nopf192 (r2 workaround)",
-        gather_ns_per_row=gather_ns)
-    sphere = run_protocol(
-        model, params_sharp, solid, rays, step=step, capacity=0,
-        prefilter=False, chunk=chunk, label="sphere-trace surface eval",
-        surface=True) if hasattr(model, "forward_surface") else None
+    legacy = nopf = sphere = None
+    if not fast:
+        legacy = run_protocol(
+            model, params, shell, rays, step=step, capacity=chunk * spr,
+            prefilter=False, chunk=chunk, label="legacy shell",
+            gather_ns_per_row=gather_ns)
+        nopf = run_protocol(
+            model, params_sharp, solid, rays, step=step,
+            capacity=chunk * 192, prefilter=False, chunk=chunk,
+            label="nopf192 (r2 workaround)", gather_ns_per_row=gather_ns)
+        sphere = run_protocol(
+            model, params_sharp, solid, rays, step=step, capacity=0,
+            prefilter=False, chunk=chunk, label="sphere-trace surface eval",
+            surface=True) if hasattr(model, "forward_surface") else None
 
     side = int(os.environ.get("RISE_BENCH_SIZE", "800"))
     out = {
@@ -296,8 +303,10 @@ def main():
         "dispatch_ms_per_call": round(dispatch_ms, 3),
         "dropped_rays": headline["dropped_rays"],
         "cut_only_rays_per_sec": round(cutonly["rays_per_sec"], 1),
-        "legacy_shell_rays_per_sec": round(legacy["rays_per_sec"], 1),
-        "no_prefilter_192spr_rays_per_sec": round(nopf["rays_per_sec"], 1),
+        "legacy_shell_rays_per_sec":
+            round(legacy["rays_per_sec"], 1) if legacy else None,
+        "no_prefilter_192spr_rays_per_sec":
+            round(nopf["rays_per_sec"], 1) if nopf else None,
     }
     if sphere is not None:
         out["sphere_trace_rays_per_sec"] = round(sphere["rays_per_sec"], 1)

@@ -205,6 +205,12 @@ class NeuSModel:
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
             rng=march_rng, t_cut=t_cut, t_band_lo=t_band_lo,
+            band_k=(int(self.config.get("eval_banded_samples_per_ray", 0))
+                    if (banded
+                        and bool(self.config.get("eval_band_exact", True))
+                        and int(self.config.get(
+                            "eval_banded_samples_per_ray", 0)) > 0)
+                    else None),
             cone_angle=float(self.config.get("cone_angle", 0.0)),
         )
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)

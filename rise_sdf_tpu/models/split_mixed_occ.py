@@ -61,6 +61,11 @@ class SplitMixedOccModel:
             config.get("prefilter_coarse_per_ray", 64))
         self.prefilter_margin_intervals = float(
             config.get("prefilter_margin_intervals", 1.0))
+        # exact-K band sampling (ops/march.py band_k): banded rays get
+        # exactly K samples spanning their own band, so banded eval
+        # cannot overflow; opt-out reproduces fine-step-masked banding
+        self.eval_band_spr = int(config.get("eval_banded_samples_per_ray", 0))
+        self.eval_band_exact = bool(config.get("eval_band_exact", True))
         self.prefilter_start_step = int(
             config.get("prefilter_start_step",
                        config.get("split_sum_kick_in_step", 0)))
@@ -422,6 +427,9 @@ class SplitMixedOccModel:
             num_samples=self.num_samples_per_ray, capacity=capacity,
             grid_binary=occ_binary, grid_resolution=self.grid_resolution,
             rng=march_rng, t_cut=t_cut, t_band_lo=t_band_lo,
+            band_k=(self.eval_band_spr
+                    if (banded and self.eval_band_exact
+                        and self.eval_band_spr > 0) else None),
             cone_angle=float(self.config.get("cone_angle", 0.0)))
         t_mid = 0.5 * (rs.t_starts + rs.t_ends)
         dists = rs.t_ends - rs.t_starts

@@ -132,6 +132,7 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
                far_plane: Optional[float] = None,
                t_cut: Optional[jnp.ndarray] = None,
                t_band_lo: Optional[jnp.ndarray] = None,
+               band_k: Optional[int] = None,
                cone_angle: float = 0.0,
                dt_max: float = 1e10) -> RaySamples:
     """Occupancy-pruned marching, compacted to a fixed-size buffer.
@@ -151,6 +152,19 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
     much smaller ``capacity`` suffices.  Rays without a finite cut
     (background / semi-transparent) pass ``-inf`` and keep the full
     candidate set.
+
+    ``band_k`` (static int, optional; requires ``t_cut``+``t_band_lo``):
+    exact-K band sampling — each ray with a *finite* band is given
+    exactly ``band_k`` uniform samples spanning its own band (per-ray
+    step ``width / band_k``) instead of fine-step candidates masked to
+    the band.  Every banded ray then contributes exactly ``band_k``
+    samples regardless of how wide its band is, so a capacity of
+    ``n_rays * band_k`` can never overflow from banded rays — the
+    fine-step variant drops whole rays whenever a band is wider than
+    the per-ray budget (coarser probes / larger margins widen bands).
+    The NeuS section-CDF alpha is exact for any interval over a locally
+    linear SDF, so the wider per-sample intervals stay principled.
+    Rays without a finite band keep the global candidate grid.
     """
     n_rays = rays_o.shape[0]
     t_near, t_far = ray_aabb_intersect(rays_o, rays_d, aabb_min, aabb_max)
@@ -158,6 +172,30 @@ def march_rays(rays_o, rays_d, *, aabb_min, aabb_max, step_size, num_samples,
         rays_o, rays_d, t_near, t_far, step_size, num_samples, rng,
         near_plane, far_plane, cone_angle, dt_max,
     )
+    if band_k is not None and t_cut is not None and t_band_lo is not None:
+        k = min(int(band_k), num_samples)
+        tn, tf = t_near, t_far
+        if near_plane is not None:
+            tn = jnp.maximum(tn, near_plane)
+        if far_plane is not None:
+            tf = jnp.minimum(tf, far_plane)
+        big = jnp.asarray(1e9, t_cut.dtype)
+        lo = jnp.maximum(t_band_lo, tn)
+        hi = jnp.minimum(t_cut, tf)
+        finite = (t_cut < big) & (t_band_lo > -big) & (hi > lo)
+        step_b = (hi - lo) / k                       # [R]
+        if rng is not None:
+            ub = jax.random.uniform(jax.random.fold_in(rng, 1),
+                                    (n_rays, 1))
+        else:
+            ub = jnp.zeros((n_rays, 1)) + 0.5
+        steps = jnp.arange(num_samples, dtype=jnp.float32)[None, :]
+        t0b = lo[:, None] + (steps + ub) * step_b[:, None]
+        f = finite[:, None]
+        t_starts = jnp.where(f, t0b - 0.5 * step_b[:, None], t_starts)
+        t_ends = jnp.where(f, t0b + 0.5 * step_b[:, None], t_ends)
+        live = jnp.where(f, steps < k, live)
+
     t_mid = 0.5 * (t_starts + t_ends)
     if t_cut is not None:
         live = live & (t_mid < t_cut[:, None])

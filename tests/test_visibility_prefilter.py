@@ -303,6 +303,107 @@ def test_system_banded_render_chunk_wiring(tmp_path):
                                    err_msg=k)
 
 
+def test_march_band_exact_k_never_overflows():
+    """Exact-K band sampling (``march_rays(band_k=K)``): every
+    finite-band ray contributes exactly K samples spanning its own band
+    regardless of band width, so ``capacity = R * K`` cannot overflow —
+    the fine-step-masked variant drops rays whenever a band is wider
+    than K fine steps (the failure mode of the r4 band8/stride8 bench
+    arms: 25% of rays dropped)."""
+    n_rays, s = 32, 512
+    radius, inv_s = 0.5, 800.0
+    step = float(3.0 * jnp.sqrt(3.0) / s)
+    o, d = _sphere_rays(n_rays)
+
+    def sdf_fn(p):
+        return jnp.linalg.norm(p, axis=-1) - radius
+
+    # wide margin (2 coarse = 8 fine intervals each side) -> bands of
+    # ~18+ fine steps, far wider than K=8
+    lo, cut = compute_visibility_cut(
+        o, d, sdf_fn=sdf_fn, inv_s=inv_s, aabb_min=AABB_MIN,
+        aabb_max=AABB_MAX, step_size=step, num_samples=s,
+        capacity=n_rays * 128, grid_binary=None, stride=4,
+        early_stop_eps=1e-4, margin_intervals=2.0, band=True)
+
+    k = 8
+    kw = dict(aabb_min=AABB_MIN, aabb_max=AABB_MAX, step_size=step,
+              num_samples=s, capacity=n_rays * k)
+    rs_mask = march_rays(o, d, t_cut=cut, t_band_lo=lo, **kw)
+    assert not bool(rs_mask.ray_included.all()), \
+        "test setup: fine-step banding should overflow K=8 budgets here"
+
+    rs_k = march_rays(o, d, t_cut=cut, t_band_lo=lo, band_k=k, **kw)
+    assert bool(rs_k.ray_included.all())
+    finite = np.asarray((cut < 1e9) & (lo > -1e9))
+    counts = np.asarray(rs_k.ray_count)
+    assert (counts[finite] == k).all(), \
+        "finite-band rays must get exactly K samples"
+    # samples span each ray's band: midpoints inside [lo, cut)
+    tm = 0.5 * (np.asarray(rs_k.t_starts) + np.asarray(rs_k.t_ends))
+    ridx = np.asarray(rs_k.ray_indices)
+    val = np.asarray(rs_k.valid) & (ridx < n_rays)
+    lo_n, cut_n = np.asarray(lo), np.asarray(cut)
+    assert (tm[val] >= lo_n[ridx[val]] - 1e-6).all()
+    assert (tm[val] < cut_n[ridx[val]]).all()
+    # coverage: the K samples span (not just prefix) the band — the
+    # last sample of each finite ray sits in the band's top interval
+    for r in np.nonzero(finite)[0][:8]:
+        tms = tm[val & (ridx == r)]
+        width = cut_n[r] - lo_n[r]
+        assert tms.max() > lo_n[r] + width * (1 - 1.5 / k)
+
+
+def test_model_band_exact_parity_where_masked_band_overflows():
+    """Model-level: with ``eval_band_exact`` (default) a K=8 banded
+    render fits, includes every ray, and matches the full-budget render;
+    the opt-out (fine-step masked) banding overflows the same budget."""
+    cfg = tiny_split_config()
+    cfg["model"]["variance"]["init_val"] = 0.7  # inv_s ~ 1097
+    cfg["model"]["num_samples_per_ray"] = 256
+    base = {k: cfg.model[k] for k in cfg.model}
+    pf = {"visibility_prefilter": True, "prefilter_stride": 4,
+          "prefilter_margin_intervals": 1.0,
+          "eval_banded_samples_per_ray": 8}
+    model_exact = models.make(cfg.model.name, {**base, **pf})
+    model_mask = models.make(cfg.model.name,
+                             {**base, **pf, "eval_band_exact": False})
+    model = models.make(cfg.model.name, cfg.model)
+    params = model.init(jax.random.PRNGKey(0))
+    occ = jnp.ones((model.grid_resolution ** 3,), bool)
+    n_rays = 32
+    o, d = _sphere_rays(n_rays)
+    rays = jnp.concatenate([o, d], -1)
+    mips = model.emitter.build_mips(params["emitter"])
+    step = jnp.asarray(20, jnp.int32)
+
+    big = model.forward(params, rays, occ_binary=occ, mips=mips, step=step,
+                        rng=None, stage=1, train=False, capacity=8192,
+                        background_color=jnp.ones((3,)))
+    assert bool(big["ray_included"].all())
+    cap = n_rays * 8
+    masked = model_mask.forward(
+        params, rays, occ_binary=occ, mips=mips, step=step, rng=None,
+        stage=1, train=False, capacity=cap,
+        background_color=jnp.ones((3,)), prefilter=True, banded=True)
+    assert not bool(masked["ray_included"].all()), \
+        "test setup: masked banding should overflow 8 samples/ray"
+    exact = model_exact.forward(
+        params, rays, occ_binary=occ, mips=mips, step=step, rng=None,
+        stage=1, train=False, capacity=cap,
+        background_color=jnp.ones((3,)), prefilter=True, banded=True)
+    assert bool(exact["ray_included"].all()), \
+        "exact-K banding overflowed its own K budget"
+    # K=8 intervals across a sharp band: slightly looser bars than the
+    # 24/ray parity test (quantization of the section CDF), still
+    # far below a visible difference
+    for k, atol in (("comp_rgb_full", 1.5e-2), ("opacity", 1e-2),
+                    ("depth", 3e-2)):
+        np.testing.assert_allclose(np.asarray(exact[k]),
+                                   np.asarray(big[k]), atol=atol,
+                                   err_msg=k)
+
+
 def test_model_prefilter_plumbing_noop_when_transparent():
     """With a soft (low inv_s) field nothing saturates: the prefiltered
     forward must equal the unfiltered one exactly (t_cut = +inf)."""
