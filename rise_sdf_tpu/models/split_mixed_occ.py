@@ -70,7 +70,10 @@ class SplitMixedOccModel:
             config.get("prefilter_start_step",
                        config.get("split_sum_kick_in_step", 0)))
         # sphere-traced fast eval (forward_surface): opt-in via
-        # eval_mode: sphere_trace; parameters of ops/sphere_trace.py
+        # eval_mode: sphere_trace; parameters of ops/sphere_trace.py.
+        # EXPERIMENTAL (demoted r4): on the converged r4mini checkpoint
+        # it measured -1.83 dB NN PSNR AND 1% slower than banded volume
+        # eval (BASELINE.md "win-or-demote"); not a headline alternative
         self.eval_mode = str(config.get("eval_mode", "volume"))
         self.st_iters = int(config.get("sphere_trace_iters", 48))
         self.st_refine = int(config.get("sphere_trace_refine_iters", 4))
