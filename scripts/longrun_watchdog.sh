@@ -39,7 +39,7 @@ launch() {
     model.split_sum_kick_in_step=1125 model.cos_anneal_end=1125 \
     model.geometry.xyz_encoding_config.start_step=675 \
     model.geometry.xyz_encoding_config.update_steps=56 \
-    tag=r3relaunch "${resume_arg[@]}" >> "$LOG" 2>&1 &
+    tag=r4long "${resume_arg[@]}" >> "$LOG" 2>&1 &
   echo $! > /tmp/longrun.pid
   echo "WATCHDOG: launched pid $(cat /tmp/longrun.pid)" >> "$LOG"
 }
@@ -48,12 +48,15 @@ launch() {
 launch
 while true; do
   sleep 120
+  # exp/ is reset-mortal: commit every metric line the moment it prints
+  python scripts/bank_metrics.py "$LOG" r4long || true
   pid=$(cat /tmp/longrun.pid)
   if ! kill -0 "$pid" 2>/dev/null; then
     # process exited: finished or crashed
     if grep -q "WATCHDOG_DONE_SENTINEL_NEVER_MATCHES" "$LOG"; then :; fi
     if tail -50 "$LOG" | grep -qE "^test[:/]"; then
       echo "WATCHDOG: run completed (test metrics present)" >> "$LOG"
+      python scripts/bank_metrics.py "$LOG" r4long || true
       exit 0
     fi
     # completed max_steps? final save happens then test() runs; if the
@@ -61,6 +64,7 @@ while true; do
     last=$(grep -oE '^step [0-9]+' "$LOG" | tail -1 | cut -d' ' -f2)
     if [ -n "${last:-}" ] && [ "$last" -ge $((MAX_STEPS - 1)) ]; then
       echo "WATCHDOG: reached final step $last; exiting" >> "$LOG"
+      python scripts/bank_metrics.py "$LOG" r4long || true
       exit 0
     fi
     echo "WATCHDOG: process died (last step ${last:-none}); relaunching" >> "$LOG"
