@@ -263,10 +263,12 @@ def main():
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
         prefilter=True, chunk=chunk, label="cutonly solid+prefilter",
         gather_ns_per_row=gather_ns)
+    band_reserve = int(cfg.model.get("eval_band_reserve", 0))
     if band_spr > 0:
         headline = run_protocol(
             model, params_sharp, solid, rays, step=step,
-            capacity=chunk * band_spr, prefilter=True, banded=True,
+            capacity=chunk * band_spr + band_reserve, prefilter=True,
+            banded=True,
             chunk=chunk, label=f"headline banded {band_spr}spr",
             gather_ns_per_row=gather_ns)
         mdesc = "banded prefiltered marching"

@@ -53,6 +53,14 @@ class NeuSSystem(BaseSystem):
         # eval_samples_per_ray (0 = off); the 2x/4x overflow ladder
         # still guards band misestimates
         self.eval_band_spr = int(mc.get("eval_banded_samples_per_ray", 0))
+        # exact-K banding bounds *banded* rays at K rows, but rays whose
+        # coarse probe never saturates (background/silhouette) keep full
+        # candidate sets; this reserve restores per-chunk slack for them
+        # without paying K*rays at a larger K (band8+reserve still
+        # undercuts band16's buffer while holding more unbanded slack)
+        self.eval_band_reserve = int(mc.get("eval_band_reserve", 0))
+        self.eval_band_capacity = (self.eval_chunk * self.eval_band_spr
+                                   + self.eval_band_reserve)
         self.grid_prune = bool(mc.get("grid_prune", True))
         self.background_color_mode = mc.get("background_color", "random")
         self.bg_srgb = False  # split system composites bg in sRGB space
@@ -377,7 +385,7 @@ class NeuSSystem(BaseSystem):
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
         banded = bool(pf and self.eval_band_spr > 0)
-        base_cap = capacity or (self.eval_chunk * self.eval_band_spr
+        base_cap = capacity or (self.eval_band_capacity
                                 if banded else self.eval_capacity)
         # rays (and the per-device sample budget) split over 'data' only;
         # 'model'-axis devices render the same rays against their table

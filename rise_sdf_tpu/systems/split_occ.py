@@ -157,7 +157,7 @@ class SplitOccSystem(NeuSSystem):
         pf = model.prefilter_on(0, train=False) \
             if hasattr(model, "prefilter_on") else False
         banded = bool(pf and self.eval_band_spr > 0)
-        base_cap = capacity or (self.eval_chunk * self.eval_band_spr
+        base_cap = capacity or (self.eval_band_capacity
                                 if banded else self.eval_capacity)
         cap = max(base_cap // data_shard_count(mesh), 16)
         if banded:
@@ -248,7 +248,7 @@ class SplitOccSystem(NeuSSystem):
             pf = model.prefilter_on(0, train=False) \
                 if hasattr(model, "prefilter_on") else False
             banded = bool(pf and self.eval_band_spr > 0)
-            base_cap = capacity or (self.eval_chunk * self.eval_band_spr
+            base_cap = capacity or (self.eval_band_capacity
                                     if banded else self.eval_capacity)
             cap = max(base_cap // data_shard_count(mesh), 16)
             vf = 1.0 if banded else vis_frac

@@ -267,7 +267,12 @@ def test_model_banded_eval_small_capacity_parity():
 def test_system_banded_render_chunk_wiring(tmp_path):
     """``eval_banded_samples_per_ray`` in the config makes
     ``make_render_chunk`` build a banded chunk (24/ray here vs the
-    256/ray full budget) that reproduces the full render."""
+    256/ray full budget) that reproduces the full render;
+    ``eval_band_reserve`` adds absolute slack rows on top of the
+    chunk*K budget (for rays whose coarse probe never saturates and so
+    keep full candidate sets — silhouettes; scripts/drop_probe.py:
+    12.1% of the frozen 800^2 protocol's rays drop at a pure chunk*8
+    budget vs 0.31% with a 16384-row reserve)."""
     from rise_sdf_tpu import datasets, systems
 
     def mk(band):
@@ -279,10 +284,12 @@ def test_system_banded_render_chunk_wiring(tmp_path):
         cfg["model"]["visibility_prefilter"] = True
         if band:
             cfg["model"]["eval_banded_samples_per_ray"] = 24
+            cfg["model"]["eval_band_reserve"] = 512
         dm = datasets.make(cfg.dataset.name, cfg.dataset)
         return systems.make(cfg.system.name, cfg, dm, save_dir=str(tmp_path))
 
     sys_f, sys_b = mk(False), mk(True)
+    assert sys_b.eval_band_capacity == 32 * 24 + 512
     state = sys_f.init_state()
     occ = jnp.ones_like(state["occ_binary"])
     o, d = _sphere_rays(32)
