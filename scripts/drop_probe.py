@@ -11,6 +11,15 @@ measure.  Drop accounting is backend-independent: rng=None eval
 marching is deterministic and identical on CPU and TPU.
 
 Usage: JAX_PLATFORMS=cpu python scripts/drop_probe.py [overrides...]
+       DROP_PROBE_SAVE=/tmp/counts.npz ... python scripts/drop_probe.py
+       python scripts/drop_probe.py analyze /tmp/counts.npz
+
+``analyze`` re-scores a saved per-ray count dump under candidate ray
+ORDERINGS as well as capacities: the image's silhouette rays are
+spatially clustered, so row-major chunking concentrates heavy rays in a
+few chunks (the observed chunk*514 worst case); a fixed strided
+interleave spreads them so every chunk's load approaches the mean and
+the single-pass capacity can shrink toward ``chunk * mean_count``.
 """
 
 import os
@@ -23,7 +32,58 @@ import time
 import numpy as np
 
 
+def drops_for_order(counts, order, chunk, cap):
+    """Single-pass dropped-ray count when rays are processed in
+    ``order`` in chunks of ``chunk`` against a ``cap``-row buffer (a ray
+    is dropped iff its cumulative sample end within its chunk exceeds
+    the buffer — exactly march_rays' allocation rule)."""
+    c = counts[order]
+    pad = (-len(c)) % chunk
+    if pad:
+        c = np.concatenate([c, np.zeros(pad, c.dtype)])
+    ends = np.cumsum(c.reshape(-1, chunk).astype(np.int64), axis=1)
+    return int((ends > cap).sum()), ends[:, -1]
+
+
+def analyze(path):
+    data = np.load(path)
+    chunk = int(data["chunk"])
+    ks = [int(k.split("_")[1]) for k in data.files if k.startswith("counts_")]
+    n = len(data[f"counts_{ks[0]}"])
+    rng = np.random.default_rng(0)
+    orders = {
+        "row-major": np.arange(n),
+        # fixed strided interleave: ray i of chunk j is j + i*n_chunks —
+        # a transpose of the (n_chunks, chunk) grid; deterministic, and
+        # its inverse is the same transpose (cheap to apply at eval)
+        "strided": np.arange(n).reshape(-1, chunk).T.reshape(-1)
+        if n % chunk == 0 else np.arange(n),
+        "shuffled": rng.permutation(n),
+    }
+    for k in ks:
+        counts = data[f"counts_{k}"].astype(np.int64)
+        mean = counts.mean()
+        print(f"-- band_k={k}: mean count {mean:.2f}/ray "
+              f"(mean chunk load {mean * chunk:,.0f} rows)")
+        caps = sorted({chunk * 6, chunk * 7, chunk * 8,
+                       chunk * 8 + 8192, chunk * 8 + 16384, chunk * 12,
+                       chunk * 16})
+        for name, order in orders.items():
+            loads = None
+            line = [f"   {name:>9}:"]
+            for cap in caps:
+                d, loads = drops_for_order(counts, order, chunk, cap)
+                line.append(f" cap*{cap / chunk:g}={d}"
+                            f"({d / n * 100:.2f}%)")
+            line.append(f" | worst chunk {int(loads.max()):,} rows"
+                        f" (= chunk*{loads.max() / chunk:.1f})")
+            print("".join(line))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "analyze":
+        analyze(sys.argv[2])
+        return
     plat = os.environ.get("JAX_PLATFORMS")
     import jax
 
@@ -98,6 +158,14 @@ def main():
     for s, i, c, tc, tl, tn_, tf_, f in heavy[:24]:
         print(f"  chunk@{s} ray {i}: count={c} t_cut={tc:.4f} t_lo={tl:.4f}"
               f" tn={tn_:.4f} tf={tf_:.4f} kernel_finite={f}")
+
+    save = os.environ.get("DROP_PROBE_SAVE")
+    if save:
+        np.savez_compressed(
+            save, chunk=np.int64(chunk),
+            **{f"counts_{k}": np.concatenate(all_counts[k]).astype(np.uint16)
+               for k in ks})
+        print(f"saved per-ray counts to {save}")
 
     caps = [chunk * 8, chunk * 8 + 8192, chunk * 8 + 16384, chunk * 12,
             chunk * 16, chunk * 16 + 16384]
