@@ -61,6 +61,14 @@ class NeuSSystem(BaseSystem):
         self.eval_band_reserve = int(mc.get("eval_band_reserve", 0))
         self.eval_band_capacity = (self.eval_chunk * self.eval_band_spr
                                    + self.eval_band_reserve)
+        # strided-interleave eval chunking: silhouette rays are spatially
+        # clustered, so row-major chunks concentrate sample load (worst
+        # chunk measured at 514x the mean — scripts/drop_probe.py);
+        # interleaving spreads every chunk's load toward the mean, which
+        # shrinks the compliant single-pass buffer and starves the 2x/4x
+        # fallback ladder of overflow chunks.  Per-ray results are order-
+        # independent, so the rendered image is unchanged.
+        self.eval_ray_interleave = bool(mc.get("eval_ray_interleave", False))
         self.grid_prune = bool(mc.get("grid_prune", True))
         self.background_color_mode = mc.get("background_color", "random")
         self.bg_srgb = False  # split system composites bg in sRGB space
@@ -417,6 +425,9 @@ class NeuSSystem(BaseSystem):
         rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         rays = jnp.concatenate([rays_o, rays_d], -1)
         n = rays.shape[0]
+        order, inv = self._eval_ray_order(n)
+        if order is not None:
+            rays = rays[jnp.asarray(order)]
         outs = []
         for s in range(0, n, self.eval_chunk):
             chunk = rays[s:s + self.eval_chunk]
@@ -442,7 +453,28 @@ class NeuSSystem(BaseSystem):
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()
                          if not k.startswith("stat_")})
-        return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+        img = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+        if inv is not None:
+            img = {k: v[inv] for k, v in img.items()}
+        return img
+
+    def _eval_ray_order(self, n):
+        """Strided-interleave permutation for eval chunking (see
+        ``eval_ray_interleave``): new chunk j takes original rays
+        ``j, j+nc, j+2*nc, ...`` — a transpose of the (n_chunks, chunk)
+        index grid — so each chunk samples the whole image uniformly
+        instead of one contiguous silhouette-heavy row band.  Returns
+        ``(order, inverse)`` numpy index arrays, or ``(None, None)``
+        when off or when a single chunk covers the image."""
+        if not self.eval_ray_interleave or n <= self.eval_chunk:
+            return None, None
+        nc = -(-n // self.eval_chunk)
+        order = np.arange(nc * self.eval_chunk).reshape(
+            nc, self.eval_chunk).T.reshape(-1)
+        order = order[order < n]
+        inv = np.empty(n, np.int64)
+        inv[order] = np.arange(n)
+        return order, inv
 
     def _escalate_fallback(self, render_chunk, invoke):
         """Re-render an overflowed chunk with a 2x, then 4x sample

@@ -300,6 +300,9 @@ class SplitOccSystem(NeuSSystem):
         rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         rays = jnp.concatenate([rays_o, rays_d], -1)
         n = rays.shape[0]
+        order, inv = self._eval_ray_order(n)
+        if order is not None:
+            rays = rays[jnp.asarray(order)]
         outs = []
         for s in range(0, n, self.eval_chunk):
             chunk = rays[s:s + self.eval_chunk]
@@ -326,7 +329,10 @@ class SplitOccSystem(NeuSSystem):
             outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
                          for k, v in res.items()
                          if not k.startswith("stat_")})
-        return {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+        img = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
+        if inv is not None:
+            img = {k: v[inv] for k, v in img.items()}
+        return img
 
     def _render_surface_residual(self, render_chunk, res, chunk, state,
                                  mips):
