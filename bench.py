@@ -224,15 +224,17 @@ def main():
 
     rays = image_rays()
     chunk = int(cfg.model.ray_chunk)
-    if bool(cfg.model.get("eval_ray_interleave", False)):
-        # same strided interleave as systems/neus.py:_eval_ray_order —
-        # spreads silhouette load across chunks so smaller single-pass
-        # buffers stay drop-compliant; per-ray results are order-
-        # independent, so protocol totals are unchanged
-        n = rays.shape[0]
-        nc = -(-n // chunk)
-        order = np.arange(nc * chunk).reshape(nc, chunk).T.reshape(-1)
-        rays = rays[jnp.asarray(order[order < n])]
+    ilv = cfg.model.get("eval_ray_interleave", False)
+    if ilv:
+        # same interleave as the systems' eval path: spreads silhouette
+        # load across chunks so smaller single-pass buffers stay drop-
+        # compliant; per-ray results are order-independent, so protocol
+        # totals are unchanged
+        from rise_sdf_tpu.utils.misc import interleave_order
+
+        order, _ = interleave_order(rays.shape[0], chunk, ilv)
+        if order is not None:
+            rays = rays[jnp.asarray(order)]
     spr = int(cfg.model.get("eval_samples_per_ray", 64))
     step = jnp.asarray(cfg.model.split_sum_kick_in_step + 1, jnp.int32)
 

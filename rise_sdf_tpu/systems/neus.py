@@ -61,14 +61,12 @@ class NeuSSystem(BaseSystem):
         self.eval_band_reserve = int(mc.get("eval_band_reserve", 0))
         self.eval_band_capacity = (self.eval_chunk * self.eval_band_spr
                                    + self.eval_band_reserve)
-        # strided-interleave eval chunking: silhouette rays are spatially
-        # clustered, so row-major chunks concentrate sample load (worst
-        # chunk measured at 514x the mean — scripts/drop_probe.py);
-        # interleaving spreads every chunk's load toward the mean, which
-        # shrinks the compliant single-pass buffer and starves the 2x/4x
-        # fallback ladder of overflow chunks.  Per-ray results are order-
-        # independent, so the rendered image is unchanged.
-        self.eval_ray_interleave = bool(mc.get("eval_ray_interleave", False))
+        # interleaved eval chunking ("golden"/"strided"/off): spreads the
+        # spatially-clustered silhouette sample load evenly over chunks so
+        # smaller static buffers stay drop-free and the 2x/4x fallback
+        # ladder is starved of overflow chunks; the rendered image is
+        # unchanged (see utils.misc.interleave_order)
+        self.eval_ray_interleave = mc.get("eval_ray_interleave", False)
         self.grid_prune = bool(mc.get("grid_prune", True))
         self.background_color_mode = mc.get("background_color", "random")
         self.bg_srgb = False  # split system composites bg in sRGB space
@@ -459,22 +457,14 @@ class NeuSSystem(BaseSystem):
         return img
 
     def _eval_ray_order(self, n):
-        """Strided-interleave permutation for eval chunking (see
-        ``eval_ray_interleave``): new chunk j takes original rays
-        ``j, j+nc, j+2*nc, ...`` — a transpose of the (n_chunks, chunk)
-        index grid — so each chunk samples the whole image uniformly
-        instead of one contiguous silhouette-heavy row band.  Returns
-        ``(order, inverse)`` numpy index arrays, or ``(None, None)``
-        when off or when a single chunk covers the image."""
-        if not self.eval_ray_interleave or n <= self.eval_chunk:
-            return None, None
-        nc = -(-n // self.eval_chunk)
-        order = np.arange(nc * self.eval_chunk).reshape(
-            nc, self.eval_chunk).T.reshape(-1)
-        order = order[order < n]
-        inv = np.empty(n, np.int64)
-        inv[order] = np.arange(n)
-        return order, inv
+        """Interleave permutation for eval chunking (see
+        ``utils.misc.interleave_order``): each chunk samples the whole
+        image quasi-uniformly instead of one contiguous silhouette-heavy
+        row band.  Returns ``(order, inverse)`` numpy index arrays, or
+        ``(None, None)`` when off or when one chunk covers the image."""
+        from ..utils.misc import interleave_order
+
+        return interleave_order(n, self.eval_chunk, self.eval_ray_interleave)
 
     def _escalate_fallback(self, render_chunk, invoke):
         """Re-render an overflowed chunk with a 2x, then 4x sample

@@ -50,6 +50,44 @@ def chunk_batch(fn: Callable, chunk_size: int, *args, pad: bool = True):
         lambda *vs: np.concatenate(vs, axis=0), *outs)
 
 
+def interleave_order(n: int, chunk: int, mode):
+    """Deterministic eval-ray interleave permutation and its inverse.
+
+    Silhouette rays are spatially clustered, so row-major chunking
+    concentrates sample load into a few chunks (measured worst chunk:
+    514x the mean; scripts/drop_probe.py).  Interleaving spreads every
+    chunk's load toward the mean so smaller static sample buffers stay
+    drop-free.  Per-ray results are order-independent, so rendering
+    through ``order`` and gathering outputs back through ``inv`` leaves
+    the image unchanged.
+
+    ``mode``: falsy/"off" -> ``(None, None)``; ``"golden"`` (also
+    ``True``) -> multiplicative low-discrepancy stride ``i*p % n`` with
+    ``p ~ golden-ratio * n`` coprime to ``n`` — spreads every contiguous
+    pixel run maximally evenly (zero drops at cap = chunk*11 on the
+    frozen protocol for chunk 4096..16384, vs chunk*514 row-major);
+    ``"strided"`` -> transpose of the (n_chunks, chunk) index grid
+    (aliases with image width when chunk ~ multiple of it — kept for
+    A/Bs).
+    """
+    if not mode or mode == "off":
+        return None, None
+    if n <= chunk:
+        return None, None
+    if mode == "strided":
+        nc = -(-n // chunk)
+        order = np.arange(nc * chunk).reshape(nc, chunk).T.reshape(-1)
+        order = order[order < n]
+    else:  # "golden" (default for mode=True)
+        p = int(n * 0.6180339887498949) or 1
+        while np.gcd(p, n) != 1:
+            p += 1
+        order = (np.arange(n, dtype=np.int64) * p) % n
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    return order, inv
+
+
 def cleanup():
     """gc sweep (reference models/utils.py:117-120; no CUDA caches here)."""
     gc.collect()
