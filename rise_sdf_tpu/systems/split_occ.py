@@ -507,6 +507,14 @@ class SplitOccSystem(NeuSSystem):
         rays_o, rays_d = get_rays(dirs, c2w)
         rays_d = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
         rays = jnp.concatenate([rays_o, rays_d], -1)
+        # calibration must probe the same chunk composition eval will
+        # render: under eval_ray_interleave every chunk's load sits at
+        # the image mean (vs the central-row worst case), so the
+        # calibrated fractions tighten to mean * 1.25 instead of
+        # central-max * 1.25
+        order, _ = self._eval_ray_order(rays.shape[0])
+        if order is not None:
+            rays = rays[jnp.asarray(order)]
         mid = rays.shape[0] // 2  # central rows see the object densest
         vis_max = sec_max = 0
         for k in range(n_chunks):

@@ -51,13 +51,20 @@ def analyze(path):
     ks = [int(k.split("_")[1]) for k in data.files if k.startswith("counts_")]
     n = len(data[f"counts_{ks[0]}"])
     rng = np.random.default_rng(0)
+    p = int(n * 0.6180339887498949) or 1
+    while np.gcd(p, n) != 1:
+        p += 1
     orders = {
         "row-major": np.arange(n),
         # fixed strided interleave: ray i of chunk j is j + i*n_chunks —
         # a transpose of the (n_chunks, chunk) grid; deterministic, and
-        # its inverse is the same transpose (cheap to apply at eval)
+        # its inverse is the same transpose (cheap to apply at eval).
+        # NOTE: aliases with image width when chunk ~ a multiple of it
         "strided": np.arange(n).reshape(-1, chunk).T.reshape(-1)
         if n % chunk == 0 else np.arange(n),
+        # golden multiplicative low-discrepancy stride — the production
+        # eval_ray_interleave mode (utils/misc.py:interleave_order)
+        "golden": (np.arange(n, dtype=np.int64) * p) % n,
         "shuffled": rng.permutation(n),
     }
     for k in ks:

@@ -74,6 +74,24 @@ def test_calibrate_eval_derives_fractions(tmp_save):
     out = system.render_image(state, split, 0, chunk, stage=1)
     assert np.isfinite(out["comp_rgb_full"]).all()
 
+    # under eval_ray_interleave the calibration probes interleaved
+    # chunks (matching the composition eval will actually render; on a
+    # production image every chunk's load ~ the mean, so the budgets
+    # tighten vs the central-row worst case — on this 32^2 toy the
+    # loads are too small for that ordering claim to be stable, so only
+    # correctness is asserted) and the interleaved render must fit them
+    cfg2 = split_config()
+    cfg2.model.derive_compaction = True
+    cfg2.model.eval_ray_interleave = "golden"
+    sys2 = systems.make(cfg2.system.name, cfg2, dm, save_dir=tmp_save)
+    cal2 = sys2.calibrate_eval(state, split, n_chunks=1)
+    assert 0.0 < cal2["vis_frac"] <= 1.0
+    assert 0.0 < cal2["secondary_frac"] <= 1.0
+    chunk2 = sys2.make_render_chunk(
+        1, secondary_frac=cal2["secondary_frac"], vis_frac=cal2["vis_frac"])
+    out2 = sys2.render_image(state, split, 0, chunk2, stage=1)
+    assert np.isfinite(out2["comp_rgb_full"]).all()
+
 
 def test_finite_grads_guard_skips_poisoned_update(tmp_save):
     """A step whose backward produces non-finite grads must leave params
