@@ -166,6 +166,10 @@ class NeuSModel:
         per_ray = int(self.config.get("prefilter_coarse_per_ray", 64))
         cap = rays_o.shape[0] * min(
             per_ray, max(self.num_samples_per_ray // stride, 1))
+        if levels is None and int(self.config.get("prefilter_levels", 0)
+                                  or 0):
+            # probe-only SDF level cut (see split_mixed_occ.py)
+            levels = int(self.config["prefilter_levels"])
         return march.compute_visibility_cut(
             rays_o, rays_d,
             sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,

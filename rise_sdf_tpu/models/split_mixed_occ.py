@@ -61,6 +61,13 @@ class SplitMixedOccModel:
             config.get("prefilter_coarse_per_ray", 64))
         self.prefilter_margin_intervals = float(
             config.get("prefilter_margin_intervals", 1.0))
+        # probe-only SDF level cut (0/None = all levels): the coarse
+        # probe is ~55% of eval gather rows at 8 corners x L levels per
+        # probe point, and its job is only to place a conservative band
+        # around the surface (1-interval margin) — the marched samples
+        # and shading still use every level.  Quality gate: parity
+        # validate on a converged checkpoint before flipping.
+        self.prefilter_levels = int(config.get("prefilter_levels", 0) or 0)
         # exact-K band sampling (ops/march.py band_k): banded rays get
         # exactly K samples spanning their own band, so banded eval
         # cannot overflow; opt-out reproduces fine-step-masked banding
@@ -389,6 +396,8 @@ class SplitMixedOccModel:
         cap = n_rays * min(self.prefilter_coarse_per_ray,
                            max(self.num_samples_per_ray
                                // self.prefilter_stride, 1))
+        if levels is None and self.prefilter_levels:
+            levels = self.prefilter_levels  # probe-only level cut
         return march.compute_visibility_cut(
             rays_o, rays_d,
             sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,

@@ -478,3 +478,41 @@ def test_model_prefilter_sharp_field_parity_and_capacity():
         np.testing.assert_allclose(np.asarray(small_pf[k]),
                                    np.asarray(big[k]), atol=5e-3,
                                    err_msg=k)
+
+
+def test_prefilter_levels_probe_only_cut():
+    """``prefilter_levels`` restricts the coarse probe's SDF encode to
+    the lowest K hash levels — the probe is the dominant share of eval
+    gather rows and only places a conservative band (1-interval margin);
+    the marched samples and shading still use every level.  With 2 of 4
+    levels the probe's hash-gather rows must exactly halve, and the cut
+    must remain usable (finite band bounds on saturating rays)."""
+    from rise_sdf_tpu.ops.hashgrid import count_gather_rows
+
+    cfg = tiny_split_config()
+    cfg["model"]["variance"]["init_val"] = 0.7
+    base = {k: cfg.model[k] for k in cfg.model}
+    pf = {"visibility_prefilter": True}
+    m_full = models.make(cfg.model.name, {**base, **pf})
+    m_cut = models.make(cfg.model.name,
+                        {**base, **pf, "prefilter_levels": 2})
+    params = m_full.init(jax.random.PRNGKey(0))
+    occ = jnp.ones((m_full.grid_resolution ** 3,), bool)
+    o, d = _sphere_rays(32)
+    step = jnp.asarray(20, jnp.int32)
+
+    def rows_of(m):
+        def f(p):
+            return m.visibility_cut(p, o, d, occ, step, band=True)
+
+        with count_gather_rows() as gc:
+            jax.jit(f).lower(params)
+        return gc.rows
+
+    rf, rc = rows_of(m_full), rows_of(m_cut)
+    assert rf > 0 and rc * 2 == rf
+    lo, cut = m_cut.visibility_cut(params, o, d, occ, step, band=True)
+    lo, cut = np.asarray(lo), np.asarray(cut)
+    assert np.isfinite(cut[cut < 1e9]).all()
+    banded = (cut < 1e9) & (lo > -1e9)
+    assert (cut[banded] > lo[banded]).all()
