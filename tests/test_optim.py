@@ -73,3 +73,24 @@ def test_schedule_applies_over_steps():
     r1 = float(u1["g"]["w"][0] / u0["g"]["w"][0])
     r2 = float(u2["g"]["w"][0] / u1["g"]["w"][0])
     np.testing.assert_allclose([r1, r2], [0.5, 0.5], rtol=2e-2)
+
+
+def test_group_lr_zero_freezes_group():
+    """A param group with lr=0 receives exactly zero updates — the
+    mechanism behind the r4 ripple rescue (freezing the learned inv_s
+    by setting system.optimizer.params.variance.lr=0 on resume) and a
+    general fine-tuning facility."""
+    params = {"geometry": {"w": jnp.ones((3,))},
+              "variance": {"v": jnp.asarray(0.67)}}
+    cfg = {
+        "optimizer": {"name": "Adam", "args": {"lr": 0.005},
+                      "params": {"geometry": {"lr": 0.005},
+                                 "variance": {"lr": 0.0}}},
+    }
+    tx = make_optimizer(cfg, params)
+    st = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for _ in range(3):
+        updates, st = tx.update(grads, st, params)
+        assert float(jnp.abs(updates["variance"]["v"])) == 0.0
+        assert float(jnp.abs(updates["geometry"]["w"]).max()) > 0.0
