@@ -287,17 +287,22 @@ def main():
         headline, mdesc = cutonly, "prefiltered marching"
     legacy = nopf = sphere = None
     if not fast:
+        # continuity rows pin their HISTORICAL chunk (4096): they exist
+        # to compare across rounds, so config arms (e.g. ray_chunk=16384,
+        # whose 192-spr buffer would also OOM) must not perturb them
+        lchunk = 4096
         legacy = run_protocol(
-            model, params, shell, rays, step=step, capacity=chunk * spr,
-            prefilter=False, chunk=chunk, label="legacy shell",
+            model, params, shell, rays, step=step, capacity=lchunk * spr,
+            prefilter=False, chunk=lchunk, label="legacy shell",
             gather_ns_per_row=gather_ns)
         nopf = run_protocol(
             model, params_sharp, solid, rays, step=step,
-            capacity=chunk * 192, prefilter=False, chunk=chunk,
+            capacity=lchunk * 192, prefilter=False, chunk=lchunk,
             label="nopf192 (r2 workaround)", gather_ns_per_row=gather_ns)
         sphere = run_protocol(
             model, params_sharp, solid, rays, step=step, capacity=0,
-            prefilter=False, chunk=chunk, label="sphere-trace surface eval",
+            prefilter=False, chunk=lchunk,
+            label="sphere-trace surface eval",
             surface=True) if hasattr(model, "forward_surface") else None
 
     side = int(os.environ.get("RISE_BENCH_SIZE", "800"))
