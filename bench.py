@@ -114,12 +114,13 @@ def image_rays(w=None, h=None):
 
 def run_protocol(model, params, occ_binary, rays, *, step, capacity,
                  prefilter, chunk, label, banded=False, surface=False,
-                 gather_ns_per_row=None):
+                 gather_ns_per_row=None, pipeline_depth=1):
     import jax
     import jax.numpy as jnp
 
     from rise_sdf_tpu.ops.hashgrid import count_gather_rows
     from rise_sdf_tpu.utils import roofline
+    from rise_sdf_tpu.utils.misc import pipeline_chunks
 
     build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
 
@@ -152,21 +153,31 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
     costs = roofline.module_costs(compiled)
 
     n = rays.shape[0]
-    n_chunks = 0
     dropped = 0
     t0 = time.time()
     mips = build_mips(params)  # once per image, like a real eval
-    for s in range(0, n, chunk):
+
+    def dispatch(s):
         rc = rays[s:s + chunk]
         if rc.shape[0] < chunk:
             rc = jnp.pad(rc, ((0, chunk - rc.shape[0]), (0, 0)))
-        out, inc = compiled(params, rc, mips)
-        # block per chunk: consuming each result is what a real render
-        # loop does, and under the axon runtime blocking only the final
-        # output does NOT imply the queued dispatches executed
+        return compiled(params, rc, mips)
+
+    def consume(s, disp):
+        out, inc = disp
+        # consume each result like a real render loop does; under the
+        # axon runtime merely blocking a LATER dispatch does NOT imply
+        # the earlier queued ones executed, so every chunk's inclusion
+        # mask is host-read (same computation as out).  pipeline_depth>1
+        # keeps the next chunk queued while this one is read (the real
+        # eval loops do the same via the eval_pipeline_depth knob).
         out.block_until_ready()
-        dropped += int((~np.asarray(inc)).sum())
-        n_chunks += 1
+        return int((~np.asarray(inc)).sum())
+
+    per_chunk = pipeline_chunks(range(0, n, chunk), dispatch, consume,
+                                depth=pipeline_depth)
+    dropped = sum(per_chunk)
+    n_chunks = len(per_chunk)
     dt = time.time() - t0
     rays_per_sec = n / dt
     res = {"rays_per_sec": rays_per_sec, "dropped_rays": dropped, "dt": dt}
@@ -236,6 +247,7 @@ def main():
         if order is not None:
             rays = rays[jnp.asarray(order)]
     spr = int(cfg.model.get("eval_samples_per_ray", 64))
+    pdepth = int(cfg.model.get("eval_pipeline_depth", 1))
     step = jnp.asarray(cfg.model.split_sum_kick_in_step + 1, jnp.int32)
 
     solid = make_occupancy(model, "solid")
@@ -273,7 +285,7 @@ def main():
     cutonly = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
         prefilter=True, chunk=chunk, label="cutonly solid+prefilter",
-        gather_ns_per_row=gather_ns)
+        gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
     band_reserve = int(cfg.model.get("eval_band_reserve", 0))
     if band_spr > 0:
         headline = run_protocol(
@@ -281,7 +293,7 @@ def main():
             capacity=chunk * band_spr + band_reserve, prefilter=True,
             banded=True,
             chunk=chunk, label=f"headline banded {band_spr}spr",
-            gather_ns_per_row=gather_ns)
+            gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
         mdesc = "banded prefiltered marching"
     else:
         headline, mdesc = cutonly, "prefiltered marching"
@@ -294,16 +306,17 @@ def main():
         legacy = run_protocol(
             model, params, shell, rays, step=step, capacity=lchunk * spr,
             prefilter=False, chunk=lchunk, label="legacy shell",
-            gather_ns_per_row=gather_ns)
+            gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
         nopf = run_protocol(
             model, params_sharp, solid, rays, step=step,
             capacity=lchunk * 192, prefilter=False, chunk=lchunk,
-            label="nopf192 (r2 workaround)", gather_ns_per_row=gather_ns)
+            label="nopf192 (r2 workaround)", gather_ns_per_row=gather_ns,
+            pipeline_depth=pdepth)
         sphere = run_protocol(
             model, params_sharp, solid, rays, step=step, capacity=0,
             prefilter=False, chunk=lchunk,
             label="sphere-trace surface eval",
-            surface=True) if hasattr(model, "forward_surface") else None
+            surface=True, pipeline_depth=pdepth) if hasattr(model, "forward_surface") else None
 
     side = int(os.environ.get("RISE_BENCH_SIZE", "800"))
     out = {

@@ -23,6 +23,7 @@ from .criterions import binary_cross_entropy, psnr
 from .optim import make_optimizer
 from ..ops import grid as occ_grid
 from ..ops.volrend import distortion_loss
+from ..utils.misc import pipeline_chunks
 from ..utils.rays import get_rays
 
 
@@ -67,6 +68,10 @@ class NeuSSystem(BaseSystem):
         # ladder is starved of overflow chunks; the rendered image is
         # unchanged (see utils.misc.interleave_order)
         self.eval_ray_interleave = mc.get("eval_ray_interleave", False)
+        # dispatches kept in flight per eval loop (utils.misc.
+        # pipeline_chunks): 2 overlaps the ~30 ms/chunk host RTT with
+        # device compute; 1 = classic dispatch-then-read
+        self.eval_pipeline_depth = int(mc.get("eval_pipeline_depth", 1))
         self.grid_prune = bool(mc.get("grid_prune", True))
         self.background_color_mode = mc.get("background_color", "random")
         self.bg_srgb = False  # split system composites bg in sRGB space
@@ -426,8 +431,7 @@ class NeuSSystem(BaseSystem):
         order, inv = self._eval_ray_order(n)
         if order is not None:
             rays = rays[jnp.asarray(order)]
-        outs = []
-        for s in range(0, n, self.eval_chunk):
+        def dispatch(s):
             chunk = rays[s:s + self.eval_chunk]
             pad = self.eval_chunk - chunk.shape[0]
             if pad:
@@ -437,8 +441,11 @@ class NeuSSystem(BaseSystem):
                 # long-run vals); duplicated real rays behave like their
                 # source
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)), mode="edge")
-            res = render_chunk(state["params"], state["occ_binary"], chunk,
-                               state["step"])
+            return chunk, pad, render_chunk(
+                state["params"], state["occ_binary"], chunk, state["step"])
+
+        def consume(s, disp):
+            chunk, pad, res = disp
             # overflow fallback: if the fixed sample budget dropped rays,
             # re-render this chunk with escalating 2x/4x buffers
             # (compiled lazily, once per level)
@@ -448,9 +455,12 @@ class NeuSSystem(BaseSystem):
                     lambda fn: fn(state["params"], state["occ_binary"],
                                   chunk, state["step"]))
                 self._warn_dropped_rays(res, s)
-            outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
-                         for k, v in res.items()
-                         if not k.startswith("stat_")})
+            return {k: np.asarray(v)[:self.eval_chunk - pad]
+                    for k, v in res.items()
+                    if not k.startswith("stat_")}
+
+        outs = pipeline_chunks(range(0, n, self.eval_chunk), dispatch,
+                               consume, depth=self.eval_pipeline_depth)
         img = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
         if inv is not None:
             img = {k: v[inv] for k, v in img.items()}

@@ -25,6 +25,7 @@ from .criterions import binary_cross_entropy, mean_angular_error, psnr, ssim
 from .lpips import available as lpips_available, lpips
 from .neus import NeuSSystem
 from ..utils.color import linear_to_srgb_np
+from ..utils.misc import pipeline_chunks
 
 
 @register("split-occ-system")
@@ -303,16 +304,19 @@ class SplitOccSystem(NeuSSystem):
         order, inv = self._eval_ray_order(n)
         if order is not None:
             rays = rays[jnp.asarray(order)]
-        outs = []
-        for s in range(0, n, self.eval_chunk):
+        def dispatch(s):
             chunk = rays[s:s + self.eval_chunk]
             pad = self.eval_chunk - chunk.shape[0]
             if pad:
                 # edge-pad: zero-direction pad rays overflow the buffer
                 # and spuriously escalate the fallback (see neus.py)
                 chunk = jnp.pad(chunk, ((0, pad), (0, 0)), mode="edge")
-            res = render_chunk(state["params"], state["occ_binary"], chunk,
-                               state["step"], *mips)
+            return chunk, pad, render_chunk(
+                state["params"], state["occ_binary"], chunk, state["step"],
+                *mips)
+
+        def consume(s, disp):
+            chunk, pad, res = disp
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 if getattr(render_chunk, "_surface", False):
                     # sphere-trace mode: unresolved rays are structural
@@ -326,9 +330,12 @@ class SplitOccSystem(NeuSSystem):
                         lambda fn: fn(state["params"], state["occ_binary"],
                                       chunk, state["step"], *mips))
                 self._warn_dropped_rays(res, s)
-            outs.append({k: np.asarray(v)[:self.eval_chunk - pad]
-                         for k, v in res.items()
-                         if not k.startswith("stat_")})
+            return {k: np.asarray(v)[:self.eval_chunk - pad]
+                    for k, v in res.items()
+                    if not k.startswith("stat_")}
+
+        outs = pipeline_chunks(range(0, n, self.eval_chunk), dispatch,
+                               consume, depth=self.eval_pipeline_depth)
         img = {k: np.concatenate([o[k] for o in outs], 0) for k in outs[0]}
         if inv is not None:
             img = {k: v[inv] for k, v in img.items()}

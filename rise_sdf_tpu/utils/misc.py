@@ -50,6 +50,37 @@ def chunk_batch(fn: Callable, chunk_size: int, *args, pad: bool = True):
         lambda *vs: np.concatenate(vs, axis=0), *outs)
 
 
+def pipeline_chunks(items, dispatch, consume, depth: int = 2):
+    """Drive a chunked device loop with ``depth`` dispatches in flight.
+
+    ``dispatch(item)`` enqueues device work and returns its (async) result;
+    ``consume(item, result)`` host-reads that result and returns the
+    per-item output.  With ``depth`` > 1 the next chunk is already queued
+    on the device while the host blocks reading the previous one, so the
+    per-chunk host round-trip (~30 ms dispatch RTT on the tunneled axon
+    runtime) overlaps device compute instead of serializing with it.
+
+    Every result is still individually consumed (host-read) in order —
+    required on the axon runtime, where merely ``block_until_ready`` on a
+    later dispatch does NOT imply earlier queued dispatches executed.
+    ``depth=1`` reproduces the classic dispatch-then-read loop exactly.
+    """
+    from collections import deque
+
+    depth = max(int(depth), 1)
+    pending = deque()
+    out = []
+    for item in items:
+        pending.append((item, dispatch(item)))
+        if len(pending) >= depth:
+            it, res = pending.popleft()
+            out.append(consume(it, res))
+    while pending:
+        it, res = pending.popleft()
+        out.append(consume(it, res))
+    return out
+
+
 def interleave_order(n: int, chunk: int, mode):
     """Deterministic eval-ray interleave permutation and its inverse.
 

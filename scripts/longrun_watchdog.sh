@@ -11,6 +11,14 @@
 # minutes each) kills the process and relaunches with
 # --resume <newest latest.ckpt.npz>.
 #
+# The compressed schedule (80k -> 9k) spends 8x less wall-clock than the
+# reference in the sharp high-inv_s regime, where the r4long run rippled
+# (val@4500 regressed 30.23 -> 26.83; BASELINE.md "ripple regression").
+# The rescue (lambda_curvature 1 -> 5 from step 5001) recovered +4.9 dB
+# in 250 steps, so the launch now ramps the curvature weight
+# [2250, 1.0, 5.0, 5000]: reference-parity 1.0 through the geometry
+# warm-up, rising to 5 as inv_s enters the knife-edge regime.
+#
 # Usage: scripts/longrun_watchdog.sh <logfile> [max_steps]
 set -u
 LOG=${1:-/tmp/longrun.log}
@@ -39,6 +47,7 @@ launch() {
     model.split_sum_kick_in_step=1125 model.cos_anneal_end=1125 \
     model.geometry.xyz_encoding_config.start_step=675 \
     model.geometry.xyz_encoding_config.update_steps=56 \
+    'system.loss.lambda_curvature=[2250,1.0,5.0,5000]' \
     tag=r4long "${resume_arg[@]}" >> "$LOG" 2>&1 &
   echo $! > /tmp/longrun.pid
   echo "WATCHDOG: launched pid $(cat /tmp/longrun.pid)" >> "$LOG"

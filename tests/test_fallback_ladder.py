@@ -45,6 +45,66 @@ def test_fallback_ladder_escalates(tmp_path):
         assert 2 in fbs2 and 4 not in fbs2
 
 
+def test_eval_pipeline_depth_identical_and_fallback_safe(tmp_path):
+    """``eval_pipeline_depth=2`` queues the next chunk before host-reading
+    the previous one — the computations are unchanged, so the image must
+    be BIT-identical to the depth-1 render, and the overflow fallback
+    ladder must still engage per chunk."""
+    cfg = neus_config()
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm, save_dir=str(tmp_path))
+    state = system.fit(max_steps=2, log_every=0)
+    split = system.datamodule.test()
+    base = system.render_image(state, split, 0)
+
+    cfg2 = neus_config()
+    cfg2.model.eval_pipeline_depth = 3
+    dm2 = datasets.make(cfg2.dataset.name, cfg2.dataset)
+    sys2 = systems.make(cfg2.system.name, cfg2, dm2, save_dir=str(tmp_path))
+    assert sys2.eval_pipeline_depth == 3
+    out = sys2.render_image(state, split, 0)
+    np.testing.assert_array_equal(out["comp_rgb_full"],
+                                  base["comp_rgb_full"])
+    np.testing.assert_array_equal(out["depth"], base["depth"])
+
+    # starved budget under pipelining: ladder still escalates and the
+    # image stays finite (fallback re-renders use the captured chunk)
+    cfg3 = neus_config()
+    cfg3.model.eval_samples_per_ray = 4
+    cfg3.model.eval_pipeline_depth = 2
+    dm3 = datasets.make(cfg3.dataset.name, cfg3.dataset)
+    sys3 = systems.make(cfg3.system.name, cfg3, dm3, save_dir=str(tmp_path))
+    state3 = sys3.fit(max_steps=2, log_every=0)
+    chunk = sys3.make_render_chunk()
+    out3 = sys3.render_image(state3, split, 0, chunk)
+    assert np.isfinite(out3["comp_rgb_full"]).all()
+    assert getattr(chunk, "_fallbacks", {}), "ladder never engaged"
+
+
+def test_pipeline_chunks_order_and_depth():
+    """pipeline_chunks: outputs in item order; at most ``depth`` items
+    dispatched-but-unconsumed at any time; depth<=1 fully serial."""
+    from rise_sdf_tpu.utils.misc import pipeline_chunks
+
+    for depth in (1, 2, 5, 100):
+        live, max_live, log = [], [0], []
+
+        def dispatch(i):
+            live.append(i)
+            max_live[0] = max(max_live[0], len(live))
+            return i * 10
+
+        def consume(i, r):
+            live.remove(i)
+            log.append((i, r))
+            return r + 1
+
+        out = pipeline_chunks(range(7), dispatch, consume, depth=depth)
+        assert out == [i * 10 + 1 for i in range(7)]
+        assert log == [(i, i * 10) for i in range(7)]
+        assert max_live[0] == min(max(depth, 1), 7)
+
+
 def test_render_chunk_memoized(tmp_path):
     """Repeat make_render_chunk calls with identical static args return
     the SAME compiled chunk (validate() used to fully recompile the
