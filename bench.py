@@ -234,6 +234,7 @@ def main():
                                 "variance": jnp.asarray(0.67, jnp.float32)}
 
     rays = image_rays()
+    rays_rowmajor = rays  # continuity rows pin the historical ordering
     chunk = int(cfg.model.ray_chunk)
     ilv = cfg.model.get("eval_ray_interleave", False)
     if ilv:
@@ -299,21 +300,25 @@ def main():
         headline, mdesc = cutonly, "prefiltered marching"
     legacy = nopf = sphere = None
     if not fast:
-        # continuity rows pin their HISTORICAL chunk (4096): they exist
-        # to compare across rounds, so config arms (e.g. ray_chunk=16384,
-        # whose 192-spr buffer would also OOM) must not perturb them
+        # continuity rows pin their HISTORICAL chunk (4096) AND row-major
+        # ray order: they exist to compare across rounds, so config arms
+        # (e.g. ray_chunk=16384, eval_ray_interleave=golden) must not
+        # perturb them — ordering changes per-chunk load and thus each
+        # row's dropped-ray count
         lchunk = 4096
         legacy = run_protocol(
-            model, params, shell, rays, step=step, capacity=lchunk * spr,
+            model, params, shell, rays_rowmajor, step=step,
+            capacity=lchunk * spr,
             prefilter=False, chunk=lchunk, label="legacy shell",
             gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
         nopf = run_protocol(
-            model, params_sharp, solid, rays, step=step,
+            model, params_sharp, solid, rays_rowmajor, step=step,
             capacity=lchunk * 192, prefilter=False, chunk=lchunk,
             label="nopf192 (r2 workaround)", gather_ns_per_row=gather_ns,
             pipeline_depth=pdepth)
         sphere = run_protocol(
-            model, params_sharp, solid, rays, step=step, capacity=0,
+            model, params_sharp, solid, rays_rowmajor, step=step,
+            capacity=0,
             prefilter=False, chunk=lchunk,
             label="sphere-trace surface eval",
             surface=True, pipeline_depth=pdepth) if hasattr(model, "forward_surface") else None
