@@ -300,28 +300,29 @@ def main():
         headline, mdesc = cutonly, "prefiltered marching"
     legacy = nopf = sphere = None
     if not fast:
-        # continuity rows pin their HISTORICAL chunk (4096) AND row-major
-        # ray order: they exist to compare across rounds, so config arms
-        # (e.g. ray_chunk=16384, eval_ray_interleave=golden) must not
-        # perturb them — ordering changes per-chunk load and thus each
-        # row's dropped-ray count
+        # continuity rows pin their HISTORICAL chunk (4096), row-major
+        # ray order AND serial dispatch (pipeline_depth=1): they exist to
+        # compare across rounds, so config arms (e.g. ray_chunk=16384,
+        # eval_ray_interleave=golden, eval_pipeline_depth=2) must not
+        # perturb them — ordering changes per-chunk load (dropped rays)
+        # and pipelining changes timing
         lchunk = 4096
         legacy = run_protocol(
             model, params, shell, rays_rowmajor, step=step,
             capacity=lchunk * spr,
             prefilter=False, chunk=lchunk, label="legacy shell",
-            gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
+            gather_ns_per_row=gather_ns, pipeline_depth=1)
         nopf = run_protocol(
             model, params_sharp, solid, rays_rowmajor, step=step,
             capacity=lchunk * 192, prefilter=False, chunk=lchunk,
             label="nopf192 (r2 workaround)", gather_ns_per_row=gather_ns,
-            pipeline_depth=pdepth)
+            pipeline_depth=1)
         sphere = run_protocol(
             model, params_sharp, solid, rays_rowmajor, step=step,
             capacity=0,
             prefilter=False, chunk=lchunk,
             label="sphere-trace surface eval",
-            surface=True, pipeline_depth=pdepth) if hasattr(model, "forward_surface") else None
+            surface=True, pipeline_depth=1) if hasattr(model, "forward_surface") else None
 
     side = int(os.environ.get("RISE_BENCH_SIZE", "800"))
     out = {

@@ -448,7 +448,14 @@ class NeuSSystem(BaseSystem):
             chunk, pad, res = disp
             # overflow fallback: if the fixed sample budget dropped rays,
             # re-render this chunk with escalating 2x/4x buffers
-            # (compiled lazily, once per level)
+            # (compiled lazily, once per level).  Memory interaction with
+            # eval_pipeline_depth>1: the next chunk's base-capacity
+            # dispatch is already queued when an escalated (up to 4x)
+            # re-render launches, so peak device memory is base + 4x
+            # concurrently live — sample buffers must leave that headroom
+            # (at the production 4096x(8+reserve) buffers this is ~100 MB,
+            # far under the 16 GB HBM; revisit before sizing buffers near
+            # capacity)
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 res = self._escalate_fallback(
                     render_chunk,

@@ -317,6 +317,9 @@ class SplitOccSystem(NeuSSystem):
 
         def consume(s, disp):
             chunk, pad, res = disp
+            # fallback + pipeline memory interaction: see neus.py consume
+            # (escalated 4x re-render runs while the next base-capacity
+            # dispatch is queued; buffers must leave that headroom)
             if "ray_included" in res and not bool(res["ray_included"].all()):
                 if getattr(render_chunk, "_surface", False):
                     # sphere-trace mode: unresolved rays are structural

@@ -50,7 +50,7 @@ def chunk_batch(fn: Callable, chunk_size: int, *args, pad: bool = True):
         lambda *vs: np.concatenate(vs, axis=0), *outs)
 
 
-def pipeline_chunks(items, dispatch, consume, depth: int = 2):
+def pipeline_chunks(items, dispatch, consume, depth: int = 1):
     """Drive a chunked device loop with ``depth`` dispatches in flight.
 
     ``dispatch(item)`` enqueues device work and returns its (async) result;
@@ -63,7 +63,9 @@ def pipeline_chunks(items, dispatch, consume, depth: int = 2):
     Every result is still individually consumed (host-read) in order —
     required on the axon runtime, where merely ``block_until_ready`` on a
     later dispatch does NOT imply earlier queued dispatches executed.
-    ``depth=1`` reproduces the classic dispatch-then-read loop exactly.
+    ``depth=1`` (the default) reproduces the classic dispatch-then-read
+    loop exactly; pipelining is an explicit opt-in at the call site
+    (systems pass their configured ``eval_pipeline_depth``).
     """
     from collections import deque
 

@@ -102,6 +102,15 @@ def main():
     cfg.model.geometry.mlp_network_config.merge({"n_neurons": 64,
                                                  "n_hidden_layers": 1})
     cfg.model.geometry.feature_dim = 16
+    # production default flips mirrored from configs/split-mixed-occ-
+    # tensoir.yaml so mini-protocol runs exercise the shipped config:
+    # - curvature_probe_frac 0.25 (r4 A/B, RESULTS.md r4ab_curv25
+    #   30.46/28.81 vs control 30.35/28.79: unbiased 1/4-stride curvature
+    #   estimate passes the bar at 75% fewer probe rows)
+    # - fd_fine_k 3 (r4 A/B: finek3 30.57/28.97 vs derived-4 control,
+    #   +0.22 dB at ~18% fewer train gather rows)
+    cfg.model.geometry.curvature_probe_frac = 0.25
+    cfg.model.geometry.fd_fine_k = 3
     cfg.model.merge({
         "num_samples_per_ray": 512, "train_num_rays": args.rays,
         "max_train_num_rays": args.rays,
