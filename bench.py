@@ -114,7 +114,7 @@ def image_rays(w=None, h=None):
 
 def run_protocol(model, params, occ_binary, rays, *, step, capacity,
                  prefilter, chunk, label, banded=False, surface=False,
-                 gather_ns_per_row=None, pipeline_depth=1):
+                 gather_ns_per_row=None, pipeline_depth=1, bake_fn=None):
     import jax
     import jax.numpy as jnp
 
@@ -123,6 +123,13 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
     from rise_sdf_tpu.utils.misc import pipeline_chunks
 
     build_mips = jax.jit(lambda p: model.emitter.build_mips(p["emitter"]))
+
+    if bake_fn is not None:
+        # eval-time dense SDF bake (model.eval_sdf_bake != off): inject
+        # the packed grid like the systems' eval does.  The timed loop
+        # below re-bakes once per image — conservative vs real eval,
+        # which amortizes one bake per checkpoint over a 32-view test.
+        params = {**params, "_eval_bake": bake_fn()}
 
     if surface:
         # sphere-traced fast eval (ops/sphere_trace.py): no sample
@@ -156,6 +163,11 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
     dropped = 0
     t0 = time.time()
     mips = build_mips(params)  # once per image, like a real eval
+    if bake_fn is not None:
+        bake = bake_fn()       # once per image (timed), see above
+        jax.block_until_ready(bake["table"])
+        params = {**params, "_eval_bake": bake}
+        log(f"[{label}] sdf bake: {time.time() - t0:.2f}s (in timed loop)")
 
     def dispatch(s):
         rc = rays[s:s + chunk]
@@ -283,10 +295,19 @@ def main():
     # the full 5-protocol suite.
     fast = os.environ.get("RISE_BENCH_FAST", "") not in ("", "0")
 
+    # eval-time dense SDF bake arm (model.eval_sdf_bake=probe|full):
+    # injected exactly like the systems' eval; continuity rows below
+    # never bake (frozen protocols)
+    bake_fn = None
+    if getattr(model, "eval_sdf_bake", "off") != "off":
+        bake_fn = lambda: model.bake_eval_sdf(params_sharp, int(step))
+        log(f"sdf bake arm: mode={model.eval_sdf_bake} "
+            f"cells={model.eval_sdf_bake_cells}")
+
     cutonly = run_protocol(
         model, params_sharp, solid, rays, step=step, capacity=chunk * spr,
         prefilter=True, chunk=chunk, label="cutonly solid+prefilter",
-        gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
+        gather_ns_per_row=gather_ns, pipeline_depth=pdepth, bake_fn=bake_fn)
     band_reserve = int(cfg.model.get("eval_band_reserve", 0))
     if band_spr > 0:
         headline = run_protocol(
@@ -294,10 +315,32 @@ def main():
             capacity=chunk * band_spr + band_reserve, prefilter=True,
             banded=True,
             chunk=chunk, label=f"headline banded {band_spr}spr",
-            gather_ns_per_row=gather_ns, pipeline_depth=pdepth)
+            gather_ns_per_row=gather_ns, pipeline_depth=pdepth,
+            bake_fn=bake_fn)
         mdesc = "banded prefiltered marching"
+        # the SAME protocol serial-forced (depth=1): r4's driver bench
+        # (7,951) vs session bench (9,179) differed ~13% with no way to
+        # attribute it; printing both rows + the RTT drift below makes
+        # the dispatch-overlap share of the headline explicit per run
+        headline_serial = run_protocol(
+            model, params_sharp, solid, rays, step=step,
+            capacity=chunk * band_spr + band_reserve, prefilter=True,
+            banded=True, chunk=chunk,
+            label=f"headline banded {band_spr}spr SERIAL",
+            gather_ns_per_row=gather_ns, pipeline_depth=1,
+            bake_fn=bake_fn)
     else:
         headline, mdesc = cutonly, "prefiltered marching"
+        headline_serial = None
+    # RTT drift: re-measure the per-dispatch round-trip after the
+    # headline rows — the tunneled runtime's RTT varies run-to-run and
+    # is the suspected cause of driver-vs-session headline gaps
+    t0 = time.time()
+    for i in range(20):
+        float(trivial(jnp.float32(i)))
+    dispatch_ms_post = (time.time() - t0) / 20 * 1e3
+    log(f"per-dispatch round-trip after headline: {dispatch_ms_post:.2f} ms"
+        f" (pre: {dispatch_ms:.2f} ms)")
     legacy = nopf = sphere = None
     if not fast:
         # continuity rows pin their HISTORICAL chunk (4096), row-major
@@ -338,6 +381,12 @@ def main():
         # along unchanged so BENCH_rN form a comparable series.
         "protocol": "banded-solid-800sq (frozen r3)",
         "dispatch_ms_per_call": round(dispatch_ms, 3),
+        "dispatch_ms_per_call_post": round(dispatch_ms_post, 3),
+        "eval_pipeline_depth": pdepth,
+        "headline_serial_rays_per_sec":
+            round(headline_serial["rays_per_sec"], 1)
+            if headline_serial else None,
+        "eval_sdf_bake": getattr(model, "eval_sdf_bake", "off"),
         "dropped_rays": headline["dropped_rays"],
         "cut_only_rays_per_sec": round(cutonly["rays_per_sec"], 1),
         "legacy_shell_rays_per_sec":

@@ -68,6 +68,23 @@ class SplitMixedOccModel:
         # and shading still use every level.  Quality gate: parity
         # validate on a converged checkpoint before flipping.
         self.prefilter_levels = int(config.get("prefilter_levels", 0) or 0)
+        # eval-time dense SDF bake (ops/sdf_bake.py): once per checkpoint
+        # the full SDF is baked onto a corner-packed trilinear grid, and
+        # the coarse visibility probe ("probe") — plus the secondary
+        # occlusion march's alpha ("full") — read it back at ONE gather
+        # row per sample instead of 8 corners x L hash levels + MLP.
+        # Together those passes are ~86% of eval gather rows, and TPU
+        # gathers are issue-rate-bound (BASELINE.md roofline), so this is
+        # the structural row-volume lever.  The bake rides an eval-only
+        # ``params["_eval_bake"]`` entry injected by the systems/bench
+        # (never present in training params).  Gate: converged-checkpoint
+        # PSNR parity (<0.1 dB) before any default flip.
+        self.eval_sdf_bake = str(config.get("eval_sdf_bake", "off")
+                                 or "off")
+        assert self.eval_sdf_bake in ("off", "probe", "full"), \
+            self.eval_sdf_bake
+        self.eval_sdf_bake_cells = int(config.get("eval_sdf_bake_cells",
+                                                  128))
         # exact-K band sampling (ops/march.py band_k): banded rays get
         # exactly K samples spanning their own band, so banded eval
         # cannot overflow; opt-out reproduces fine-step-masked banding
@@ -156,6 +173,21 @@ class SplitMixedOccModel:
     # ------------------------------------------------------------------ #
     def _alpha_at(self, params, positions, t_dirs, dists, step,
                   cos_anneal_ratio, levels=None):
+        bake = params.get("_eval_bake") if isinstance(params, dict) else None
+        if bake is not None and self.eval_sdf_bake == "full":
+            # eval-only baked path: trilinear SDF + its analytic cell
+            # gradient from ONE packed gather row per sample (the
+            # secondary march only needs transmittance through the
+            # surface; |grad| ~ 1 by the eikonal property either way)
+            from ..ops import sdf_bake as _sb
+
+            sdf, grad = _sb.sample_packed_grad(
+                bake, positions, self.aabb_min, self.aabb_max)
+            normal = _normalize(grad)
+            inv_s = self.variance.inv_s(params["variance"], step)
+            true_cos = jnp.sum(t_dirs * normal, -1)
+            return neus_alpha(sdf, inv_s, true_cos, dists,
+                              cos_anneal_ratio)
         geo = self.geometry.forward(params["geometry"], positions, step,
                                     with_grad=True, with_feature=False,
                                     grad_mode="analytic", levels=levels)
@@ -387,6 +419,29 @@ class SplitMixedOccModel:
             return False
         return (step >= self.prefilter_start_step) if train else True
 
+    def bake_eval_sdf(self, params, step):
+        """Bake the full geometry SDF onto the eval grid (ops/sdf_bake).
+
+        Called by the systems/bench once per checkpoint before an eval
+        render session; the result is injected as ``params["_eval_bake"]``
+        so every render path (escalation ladder, multi-emitter, sharded)
+        sees it without signature changes.  Returns ``None`` when the
+        bake is disabled.  The per-chunk SDF evaluation is jitted once
+        and cached on the model, so repeated bakes (one per val) reuse
+        the compile.
+        """
+        if self.eval_sdf_bake == "off":
+            return None
+        from ..ops import sdf_bake as _sb
+
+        if not hasattr(self, "_jit_bake_sdf"):
+            self._jit_bake_sdf = jax.jit(
+                lambda gp, p, s: self.geometry.sdf(gp, p, s))
+        fn = lambda p: self._jit_bake_sdf(params["geometry"], p,
+                                          jnp.asarray(step, jnp.int32))
+        return _sb.bake_packed(fn, self.aabb_min, self.aabb_max,
+                               self.eval_sdf_bake_cells, jit_fn=False)
+
     def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
                        levels=None, cos_anneal_ratio=1.0,
                        band: bool = False):
@@ -398,10 +453,20 @@ class SplitMixedOccModel:
                                // self.prefilter_stride, 1))
         if levels is None and self.prefilter_levels:
             levels = self.prefilter_levels  # probe-only level cut
+        bake = params.get("_eval_bake") if isinstance(params, dict) else None
+        if bake is not None and self.eval_sdf_bake != "off":
+            # eval-only baked probe: one packed gather row per probe
+            # point instead of 8 corners x L levels + the SDF MLP
+            from ..ops import sdf_bake as _sb
+
+            sdf_fn = lambda p: _sb.sample_packed(bake, p, self.aabb_min,
+                                                 self.aabb_max)
+        else:
+            sdf_fn = lambda p: self.geometry.sdf(params["geometry"], p,
+                                                 step, levels=levels)
         return march.compute_visibility_cut(
             rays_o, rays_d,
-            sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,
-                                               levels=levels),
+            sdf_fn=sdf_fn,
             inv_s=self.variance.inv_s(params["variance"], step),
             aabb_min=self.aabb_min, aabb_max=self.aabb_max,
             step_size=self.render_step_size,

@@ -18,7 +18,9 @@ for arm in \
   "defaults -" \
   "plevels8 model.prefilter_levels=8" \
   "plevels4 model.prefilter_levels=4" \
-  "stride8 model.prefilter_stride=8"; do
+  "stride8 model.prefilter_stride=8" \
+  "bakeprobe model.eval_sdf_bake=probe" \
+  "bakefull model.eval_sdf_bake=full"; do
   tag=${arm%% *}; ov=${arm#* }
   extra=()
   [ "$ov" != "-" ] && extra=("$ov")
