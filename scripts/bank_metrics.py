@@ -53,6 +53,9 @@ PATTERNS = [
     re.compile(r"^gather issue roof"),
     re.compile(r"^per-dispatch round-trip"),
     re.compile(r"^\[.*\] \d+ rays in "),
+    re.compile(r"^\[.*\] sdf bake:"),
+    re.compile(r"^baked eval SDF grid"),
+    re.compile(r"^sdf bake arm:"),
     # validate_ckpt.py
     re.compile(r"^loaded .* at step"),
     re.compile(r"^validate \("),
