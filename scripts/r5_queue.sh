@@ -54,6 +54,18 @@ for arm in \
   python scripts/bank_metrics.py "$LOG" r5bench || true
 done
 
+# seed-7 NaN provoke re-run (VERDICT r4 weak #2: the r4 closure's newest
+# leg was never banked — the r4 queue piped it through `tail` and the
+# output died with /tmp).  Full output goes straight to the banked log.
+guard "seed-7 provoke"
+say "NaN provoke seed 7 (re-bank of the scatter-NaN closure leg)"
+{ echo "=== provoke seed 7 rerun $(date +%F-%H:%M) ==="
+  timeout 3000 python scripts/nan_repro.py provoke --steps 700 \
+    --seed 7 --out /tmp/nanrepro 2>&1 | grep -vE "^step |^WARNING"
+  echo "=== provoke seed 7 rerun exit=$? $(date +%F-%H:%M) ==="
+} >> /tmp/r5nan.log
+python scripts/bank_metrics.py /tmp/r5nan.log r5nan --raw || true
+
 guard "longrun launch"
 say "handing off to longrun watchdog"
 setsid nohup bash scripts/longrun_watchdog.sh /tmp/longrun.log 9000 \
