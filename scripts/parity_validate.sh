@@ -16,11 +16,11 @@ cd /root/repo
 
 for arm in \
   "defaults -" \
+  "bakefull model.eval_sdf_bake=full" \
+  "bakeprobe model.eval_sdf_bake=probe" \
   "plevels8 model.prefilter_levels=8" \
   "plevels4 model.prefilter_levels=4" \
-  "stride8 model.prefilter_stride=8" \
-  "bakeprobe model.eval_sdf_bake=probe" \
-  "bakefull model.eval_sdf_bake=full"; do
+  "stride8 model.prefilter_stride=8"; do
   tag=${arm%% *}; ov=${arm#* }
   extra=()
   [ "$ov" != "-" ] && extra=("$ov")
