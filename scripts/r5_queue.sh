@@ -1,40 +1,40 @@
 #!/bin/bash
-# Round-5 session-1 TPU queue (VERDICT r5 items #1, #2, #7).
+# Round-5 session-1 TPU queue (VERDICT r5 items #1, #2, #5, #6b, #7).
 #
 #   A. wait for the r5mini retrain (the converged parity-gate ckpt)
-#   B. TPU bench arms for the gather-wall levers, banked as they print:
-#        armBF    eval_sdf_bake=full   (probe + secondary from the bake)
-#        armBP    eval_sdf_bake=probe  (probe only)
-#        armL8    prefilter_levels=8   (the carried no-bake lever)
-#        armBF192 bake at 192^3 cells  (resolution sensitivity)
-#   C. hand off to the 9k 800^2 longrun watchdog (ramped curvature)
+#   B. TPU bench arms for the gather-wall levers, banked as they print
+#   C. launch the 9k 800^2 longrun watchdog (ramped curvature) — the
+#      round's critical-path deliverable goes on the chip EARLY
+#   D. tail items in the longrun's slack, each deadline-guarded:
+#        - seed-7 NaN provoke re-bank (VERDICT weak #2)
+#        - albedo lever A/B: emitter-distillation weight (VERDICT #5)
 #
-# Deadline guard: nothing new starts after DEADLINE_EPOCH so the chip is
-# free for the driver's end-of-round bench.  PID-file based; never kills
-# by pattern.
+# PID-file based; never kills by pattern.  DEADLINE_EPOCH stops new
+# starts so the chip is free for the driver's end-of-round bench.
 set -u
 cd /root/repo
 LOG=/tmp/r5queue.log
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
 : > "$LOG"
 say() { echo "=== $* $(date +%F-%H:%M) ===" >> "$LOG"; }
-guard() {
-  if [ "$DEADLINE_EPOCH" -gt 0 ] && [ "$(date +%s)" -gt "$DEADLINE_EPOCH" ]; then
-    say "DEADLINE passed; stopping queue before: $*"
-    python scripts/bank_metrics.py "$LOG" r5bench || true
-    exit 0
+left() {
+  if [ "$DEADLINE_EPOCH" -gt 0 ]; then
+    echo $(( DEADLINE_EPOCH - $(date +%s) ))
+  else
+    echo 99999
   fi
+}
+guard() {
+  if [ "$(left)" -lt "${2:-0}" ]; then
+    say "DEADLINE guard (need ${2:-0}s, have $(left)s); skipping: $1"
+    return 1
+  fi
+  return 0
 }
 
 say "queue start; waiting for r5mini"
 while ! grep -q "WATCHDOG: run completed" /tmp/r5mini.log 2>/dev/null; do
   sleep 60
-  # if the mini run somehow died without its watchdog, don't wait forever
-  if ! kill -0 "$(cat /tmp/r5mini.pid 2>/dev/null)" 2>/dev/null \
-     && ! grep -q "WATCHDOG" /tmp/r5mini.log 2>/dev/null; then
-    say "r5mini watchdog gone without completion; proceeding"
-    break
-  fi
 done
 say "r5mini done; starting bench arms"
 
@@ -44,7 +44,7 @@ for arm in \
   "armBP model.eval_sdf_bake=probe" \
   "armL8 model.prefilter_levels=8" \
   "armBF192 model.eval_sdf_bake=full model.eval_sdf_bake_cells=192"; do
-  guard "bench $arm"
+  guard "bench $arm" 3000 || continue
   set -- $arm; tag=$1; shift
   ov=()
   [ "${1:-}" != "-" ] && ov=("$@")
@@ -54,22 +54,56 @@ for arm in \
   python scripts/bank_metrics.py "$LOG" r5bench || true
 done
 
-# seed-7 NaN provoke re-run (VERDICT r4 weak #2: the r4 closure's newest
-# leg was never banked — the r4 queue piped it through `tail` and the
-# output died with /tmp).  Full output goes straight to the banked log.
-guard "seed-7 provoke"
-say "NaN provoke seed 7 (re-bank of the scatter-NaN closure leg)"
-{ echo "=== provoke seed 7 rerun $(date +%F-%H:%M) ==="
-  timeout 3000 python scripts/nan_repro.py provoke --steps 700 \
-    --seed 7 --out /tmp/nanrepro 2>&1 | grep -vE "^step |^WARNING"
-  echo "=== provoke seed 7 rerun exit=$? $(date +%F-%H:%M) ==="
-} >> /tmp/r5nan.log
-python scripts/bank_metrics.py /tmp/r5nan.log r5nan --raw || true
+# ---- C. longrun (critical path): launch and WAIT for completion ---- #
+if guard "longrun launch" 7200; then
+  say "launching longrun watchdog (9k, ramped curvature)"
+  setsid nohup bash scripts/longrun_watchdog.sh /tmp/longrun.log 9000 \
+    < /dev/null > /tmp/longrun_watchdog.log 2>&1 &
+  echo $! > /tmp/longrun_watchdog.pid
+  sleep 30
+  WPID=$(cat /tmp/longrun_watchdog.pid)
+  while kill -0 "$WPID" 2>/dev/null; do
+    sleep 120
+    # hard stop: if the deadline arrives while the longrun is still
+    # going, stop the watchdog AND the trainer so the chip frees up;
+    # the run resumes bit-exactly in a future session
+    if [ "$(left)" -lt 0 ]; then
+      say "DEADLINE during longrun; stopping watchdog + trainer"
+      kill "$WPID" 2>/dev/null
+      sleep 2
+      kill "$(cat /tmp/longrun.pid 2>/dev/null)" 2>/dev/null
+      sleep 10
+      kill -9 "$(cat /tmp/longrun.pid 2>/dev/null)" 2>/dev/null
+      python scripts/bank_metrics.py /tmp/longrun.log r5long || true
+      exit 0
+    fi
+  done
+  say "longrun watchdog exited"
+  python scripts/bank_metrics.py /tmp/longrun.log r5long || true
+fi
 
-guard "longrun launch"
-say "handing off to longrun watchdog"
-setsid nohup bash scripts/longrun_watchdog.sh /tmp/longrun.log 9000 \
-  < /dev/null > /tmp/longrun_watchdog.log 2>&1 &
-echo $! > /tmp/longrun_watchdog.pid
-say "longrun watchdog launched"
+# ---- D. tail items in the remaining slack ---- #
+if guard "seed-7 provoke" 3300; then
+  say "NaN provoke seed 7 (re-bank of the scatter-NaN closure leg)"
+  { echo "=== provoke seed 7 rerun $(date +%F-%H:%M) ==="
+    timeout 3000 python scripts/nan_repro.py provoke --steps 700 \
+      --seed 7 --out /tmp/nanrepro 2>&1 | grep -vE "^step |^WARNING"
+    echo "=== provoke seed 7 rerun done $(date +%F-%H:%M) ==="
+  } >> /tmp/r5nan.log
+  python scripts/bank_metrics.py /tmp/r5nan.log r5nan --raw || true
+fi
+
+if guard "albedo A/B arm" 4500; then
+  say "albedo lever arm: lambda_emitter_distillation=0.1 (mini protocol)"
+  t=$(( $(left) - 900 ))
+  timeout "$t" bash scripts/miniwatchdog.sh /tmp/r5ab_distill.log \
+    exp/r5ab_distill r5ab_distill --steps 1200 --res 96 --kick 300 \
+    --bf16 --test --val-every 300 --save-every 300 \
+    --set system.loss.lambda_emitter_distillation=0.1
+  # if the timeout killed the watchdog, also stop its setsid'd trainer
+  kill "$(cat /tmp/r5ab_distill.pid 2>/dev/null)" 2>/dev/null || true
+  python scripts/bank_metrics.py /tmp/r5ab_distill.log r5ab_distill || true
+fi
+
+say "queue drained ($(left)s to deadline)"
 python scripts/bank_metrics.py "$LOG" r5bench || true
