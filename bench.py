@@ -165,7 +165,7 @@ def run_protocol(model, params, occ_binary, rays, *, step, capacity,
     mips = build_mips(params)  # once per image, like a real eval
     if bake_fn is not None:
         bake = bake_fn()       # once per image (timed), see above
-        jax.block_until_ready(bake["table"])
+        jax.block_until_ready(bake["packed"])
         params = {**params, "_eval_bake": bake}
         log(f"[{label}] sdf bake: {time.time() - t0:.2f}s (in timed loop)")
 

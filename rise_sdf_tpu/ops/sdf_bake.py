@@ -108,12 +108,12 @@ def bake_packed(sdf_fn, aabb_min, aabb_max, cells: int,
     """One-call bake: vertex lattice -> corner-packed table.
 
     Returns the bake pytree consumed by :func:`sample_packed`:
-    ``{"table": [V^3, 8] f32, "cells": int32 scalar}`` (aabb comes from
+    ``{"packed": [V^3, 8] f32, "cells": int32 scalar}`` (aabb comes from
     the model at sample time — it is static per model).
     """
     verts = bake_sdf_vertices(sdf_fn, aabb_min, aabb_max, cells, chunk,
                               jit_fn=jit_fn)
-    return {"table": pack_corners(verts),
+    return {"packed": pack_corners(verts),
             "cells": jnp.asarray(cells, jnp.int32)}
 
 
@@ -141,7 +141,7 @@ def sample_packed(bake, pos, aabb_min, aabb_max):
     v = cells + 1
     i, f = _cell_coords(pos, aabb_min, aabb_max, cells)
     flat = (i[..., 0] * v + i[..., 1]) * v + i[..., 2]
-    rows = bake["table"][flat]                       # [N, 8] — ONE gather
+    rows = bake["packed"][flat]                       # [N, 8] — ONE gather
     return jnp.sum(rows * _corner_weights(f), axis=-1)
 
 
@@ -160,7 +160,7 @@ def sample_packed_grad(bake, pos, aabb_min, aabb_max):
         aabb_min, jnp.float32)
     i, f = _cell_coords(pos, aabb_min, aabb_max, cells)
     flat = (i[..., 0] * v + i[..., 1]) * v + i[..., 2]
-    rows = bake["table"][flat]                       # [N, 8]
+    rows = bake["packed"][flat]                       # [N, 8]
     fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
     w = _corner_weights(f)
     sdf = jnp.sum(rows * w, axis=-1)

@@ -432,7 +432,7 @@ class SplitOccSystem(NeuSSystem):
 
             t0 = _time.time()
             bake = model.bake_eval_sdf(state["params"], key)
-            jax.block_until_ready(bake["table"])
+            jax.block_until_ready(bake["packed"])
             print(f"baked eval SDF grid "
                   f"({model.eval_sdf_bake_cells}^3 cells, "
                   f"{_time.time() - t0:.1f}s)", flush=True)

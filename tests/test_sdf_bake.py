@@ -34,7 +34,7 @@ def test_vertex_values_roundtrip():
     cells = 6
     verts = sdf_bake.bake_sdf_vertices(fn, AABB_MIN, AABB_MAX, cells,
                                        chunk=128)
-    bake = {"table": sdf_bake.pack_corners(verts),
+    bake = {"packed": sdf_bake.pack_corners(verts),
             "cells": jnp.asarray(cells, jnp.int32)}
     lin = np.arange(cells + 1) / cells
     pts = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"),
@@ -150,7 +150,7 @@ def test_model_banded_eval_bake_parity(mode):
     assert bool(ref["ray_included"].all())
 
     bake = model_b.bake_eval_sdf(params, 20)
-    assert bake is not None and bake["table"].shape[-1] == 8
+    assert bake is not None and bake["packed"].shape[-1] == 8
     params_b = {**params, "_eval_bake": bake}
     got = model_b.forward(params_b, rays, occ_binary=occ, mips=mips,
                           step=step, rng=None, stage=1, train=False,
