@@ -1,13 +1,15 @@
 #!/bin/bash
-# Round-5 session-1 TPU queue (VERDICT r5 items #1, #2, #5, #6b, #7).
+# Round-5 session-1 TPU queue, v2 (VERDICT r5 #1, #2, #5, #6b, #7).
 #
-#   A. wait for the r5mini retrain (the converged parity-gate ckpt)
-#   B. TPU bench arms for the gather-wall levers, banked as they print
-#   C. launch the 9k 800^2 longrun watchdog (ramped curvature) — the
-#      round's critical-path deliverable goes on the chip EARLY
-#   D. tail items in the longrun's slack, each deadline-guarded:
-#        - seed-7 NaN provoke re-bank (VERDICT weak #2)
-#        - albedo lever A/B: emitter-distillation weight (VERDICT #5)
+#   B. TPU bench arms for the gather-wall levers (banked as they print)
+#   P. TPU parity validates of the levers on the r5mini converged ckpt
+#      (CPU was starved by the test gate; the chip does each arm in
+#      ~2-4 min and is the real target anyway)
+#   G. decision gate: wait up to GATE_MAX_S for /tmp/r5_flip_done (the
+#      operator flips config defaults from the banked evidence), then
+#   C. launch the 9k 800^2 longrun watchdog and WAIT for completion
+#   D. tail items in the slack: seed-7 provoke re-bank, albedo
+#      emitter-distillation arm
 #
 # PID-file based; never kills by pattern.  DEADLINE_EPOCH stops new
 # starts so the chip is free for the driver's end-of-round bench.
@@ -15,7 +17,7 @@ set -u
 cd /root/repo
 LOG=/tmp/r5queue.log
 DEADLINE_EPOCH=${DEADLINE_EPOCH:-0}
-: > "$LOG"
+GATE_MAX_S=${GATE_MAX_S:-900}
 say() { echo "=== $* $(date +%F-%H:%M) ===" >> "$LOG"; }
 left() {
   if [ "$DEADLINE_EPOCH" -gt 0 ]; then
@@ -32,19 +34,16 @@ guard() {
   return 0
 }
 
-say "queue start; waiting for r5mini"
-while ! grep -q "WATCHDOG: run completed" /tmp/r5mini.log 2>/dev/null; do
-  sleep 60
-done
-say "r5mini done; starting bench arms"
+say "queue v2 start"
 
+# ---- B. bench arms ---- #
 for arm in \
   "armDEF -" \
   "armBF model.eval_sdf_bake=full" \
   "armBP model.eval_sdf_bake=probe" \
   "armL8 model.prefilter_levels=8" \
   "armBF192 model.eval_sdf_bake=full model.eval_sdf_bake_cells=192"; do
-  guard "bench $arm" 3000 || continue
+  guard "bench $arm" 9000 || continue
   set -- $arm; tag=$1; shift
   ov=()
   [ "${1:-}" != "-" ] && ov=("$@")
@@ -53,6 +52,24 @@ for arm in \
     >> "$LOG" 2>&1
   python scripts/bank_metrics.py "$LOG" r5bench || true
 done
+
+# ---- P. TPU parity validates on the r5mini ckpt ---- #
+CKPT=$(ls -t exp/r5mini/ckpt/step_*.ckpt.npz 2>/dev/null | head -1)
+if [ -n "${CKPT:-}" ] && guard "parity validates" 7800; then
+  say "TPU parity validates on $CKPT"
+  bash scripts/parity_validate.sh exp/r5mini/parsed.yaml "$CKPT" 4 \
+    >> /tmp/r5parity.log 2>&1
+  python scripts/bank_metrics.py /tmp/r5parity.log r5parity || true
+fi
+
+# ---- G. decision gate ---- #
+say "decision gate: waiting for /tmp/r5_flip_done (max ${GATE_MAX_S}s)"
+t0=$(date +%s)
+while [ ! -f /tmp/r5_flip_done ] \
+      && [ $(( $(date +%s) - t0 )) -lt "$GATE_MAX_S" ]; do
+  sleep 15
+done
+say "gate done (flag: $(ls /tmp/r5_flip_done 2>/dev/null || echo timeout))"
 
 # ---- C. longrun (critical path): launch and WAIT for completion ---- #
 if guard "longrun launch" 7200; then
@@ -64,9 +81,6 @@ if guard "longrun launch" 7200; then
   WPID=$(cat /tmp/longrun_watchdog.pid)
   while kill -0 "$WPID" 2>/dev/null; do
     sleep 120
-    # hard stop: if the deadline arrives while the longrun is still
-    # going, stop the watchdog AND the trainer so the chip frees up;
-    # the run resumes bit-exactly in a future session
     if [ "$(left)" -lt 0 ]; then
       say "DEADLINE during longrun; stopping watchdog + trainer"
       kill "$WPID" 2>/dev/null
@@ -100,7 +114,6 @@ if guard "albedo A/B arm" 4500; then
     exp/r5ab_distill r5ab_distill --steps 1200 --res 96 --kick 300 \
     --bf16 --test --val-every 300 --save-every 300 \
     --set system.loss.lambda_emitter_distillation=0.1
-  # if the timeout killed the watchdog, also stop its setsid'd trainer
   kill "$(cat /tmp/r5ab_distill.pid 2>/dev/null)" 2>/dev/null || true
   python scripts/bank_metrics.py /tmp/r5ab_distill.log r5ab_distill || true
 fi
