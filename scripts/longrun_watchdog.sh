@@ -48,7 +48,7 @@ launch() {
     model.geometry.xyz_encoding_config.start_step=675 \
     model.geometry.xyz_encoding_config.update_steps=56 \
     'system.loss.lambda_curvature=[2250,1.0,5.0,5000]' \
-    tag=r4long "${resume_arg[@]}" >> "$LOG" 2>&1 &
+    tag=r5long "${resume_arg[@]}" >> "$LOG" 2>&1 &
   echo $! > /tmp/longrun.pid
   echo "WATCHDOG: launched pid $(cat /tmp/longrun.pid)" >> "$LOG"
 }
@@ -58,14 +58,14 @@ launch
 while true; do
   sleep 120
   # exp/ is reset-mortal: commit every metric line the moment it prints
-  python scripts/bank_metrics.py "$LOG" r4long || true
+  python scripts/bank_metrics.py "$LOG" r5long || true
   pid=$(cat /tmp/longrun.pid)
   if ! kill -0 "$pid" 2>/dev/null; then
     # process exited: finished or crashed
     if grep -q "WATCHDOG_DONE_SENTINEL_NEVER_MATCHES" "$LOG"; then :; fi
     if tail -50 "$LOG" | grep -qE "^test[:/]"; then
       echo "WATCHDOG: run completed (test metrics present)" >> "$LOG"
-      python scripts/bank_metrics.py "$LOG" r4long || true
+      python scripts/bank_metrics.py "$LOG" r5long || true
       exit 0
     fi
     # completed max_steps? final save happens then test() runs; if the
@@ -73,7 +73,7 @@ while true; do
     last=$(grep -oE '^step [0-9]+' "$LOG" | tail -1 | cut -d' ' -f2)
     if [ -n "${last:-}" ] && [ "$last" -ge $((MAX_STEPS - 1)) ]; then
       echo "WATCHDOG: reached final step $last; exiting" >> "$LOG"
-      python scripts/bank_metrics.py "$LOG" r4long || true
+      python scripts/bank_metrics.py "$LOG" r5long || true
       exit 0
     fi
     echo "WATCHDOG: process died (last step ${last:-none}); relaunching" >> "$LOG"
