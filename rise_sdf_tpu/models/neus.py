@@ -60,6 +60,13 @@ class NeuSModel:
         self.randomized = bool(config.get("randomized", True))
         self.aabb_min = jnp.asarray([-self.radius] * 3)
         self.aabb_max = jnp.asarray([self.radius] * 3)
+        # eval-time dense SDF bake for the visibility probe (see
+        # split_mixed_occ.py / ops/sdf_bake.py; NeuS has no secondary
+        # pass, so "full" and "probe" are equivalent here)
+        self.eval_sdf_bake = str(config.get("eval_sdf_bake", "off")
+                                 or "off")
+        self.eval_sdf_bake_cells = int(config.get("eval_sdf_bake_cells",
+                                                  128))
         self.geometry = make(config["geometry"]["name"], config["geometry"])
         self.texture = make(config["texture"]["name"], config["texture"])
         self.variance = Variance(config["variance"])
@@ -159,6 +166,12 @@ class NeuSModel:
         return (step >= int(self.config.get("prefilter_start_step", 0))) \
             if train else True
 
+    def bake_eval_sdf(self, params, step):
+        """Per-checkpoint dense SDF bake (ops/sdf_bake.bake_for_model)."""
+        from ..ops import sdf_bake as _sb
+
+        return _sb.bake_for_model(self, params, step)
+
     def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
                        levels=None, cos_anneal_ratio=1.0,
                        band: bool = False):
@@ -170,10 +183,18 @@ class NeuSModel:
                                   or 0):
             # probe-only SDF level cut (see split_mixed_occ.py)
             levels = int(self.config["prefilter_levels"])
+        bake = params.get("_eval_bake") if isinstance(params, dict) else None
+        if bake is not None and self.eval_sdf_bake != "off":
+            from ..ops import sdf_bake as _sb
+
+            sdf_fn = lambda p: _sb.sample_packed(bake, p, self.aabb_min,
+                                                 self.aabb_max)
+        else:
+            sdf_fn = lambda p: self.geometry.sdf(params["geometry"], p,
+                                                 step, levels=levels)
         return march.compute_visibility_cut(
             rays_o, rays_d,
-            sdf_fn=lambda p: self.geometry.sdf(params["geometry"], p, step,
-                                               levels=levels),
+            sdf_fn=sdf_fn,
             inv_s=self.variance.inv_s(params["variance"], step),
             aabb_min=self.aabb_min, aabb_max=self.aabb_max,
             step_size=self.render_step_size,

@@ -430,17 +430,9 @@ class SplitMixedOccModel:
         and cached on the model, so repeated bakes (one per val) reuse
         the compile.
         """
-        if self.eval_sdf_bake == "off":
-            return None
         from ..ops import sdf_bake as _sb
 
-        if not hasattr(self, "_jit_bake_sdf"):
-            self._jit_bake_sdf = jax.jit(
-                lambda gp, p, s: self.geometry.sdf(gp, p, s))
-        fn = lambda p: self._jit_bake_sdf(params["geometry"], p,
-                                          jnp.asarray(step, jnp.int32))
-        return _sb.bake_packed(fn, self.aabb_min, self.aabb_max,
-                               self.eval_sdf_bake_cells, jit_fn=False)
+        return _sb.bake_for_model(self, params, step)
 
     def visibility_cut(self, params, rays_o, rays_d, occ_binary, step,
                        levels=None, cos_anneal_ratio=1.0,

@@ -117,6 +117,26 @@ def bake_packed(sdf_fn, aabb_min, aabb_max, cells: int,
             "cells": jnp.asarray(cells, jnp.int32)}
 
 
+def bake_for_model(model, params, step):
+    """Shared model-level bake entry (NeuS + split-mixed-occ).
+
+    Evaluates the model's full geometry SDF on the configured lattice
+    (``model.eval_sdf_bake_cells``) and returns the packed bake, or
+    ``None`` when ``model.eval_sdf_bake`` is "off".  The per-chunk SDF
+    evaluation is jitted once and cached on the model so repeated bakes
+    (one per val) reuse the compile.
+    """
+    if getattr(model, "eval_sdf_bake", "off") == "off":
+        return None
+    if not hasattr(model, "_jit_bake_sdf"):
+        model._jit_bake_sdf = jax.jit(
+            lambda gp, p, s: model.geometry.sdf(gp, p, s))
+    fn = lambda p: model._jit_bake_sdf(params["geometry"], p,
+                                       jnp.asarray(step, jnp.int32))
+    return bake_packed(fn, model.aabb_min, model.aabb_max,
+                       model.eval_sdf_bake_cells, jit_fn=False)
+
+
 def _cell_coords(pos, aabb_min, aabb_max, cells):
     extent = aabb_max - aabb_min
     u = (pos - aabb_min) / extent * cells

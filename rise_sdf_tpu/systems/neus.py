@@ -652,7 +652,37 @@ class NeuSSystem(BaseSystem):
         return state
 
     # ------------------------------------------------------------------ #
+    def _with_eval_bake(self, state):
+        """Inject the per-checkpoint dense SDF bake into a copy of state.
+
+        The bake (model.bake_eval_sdf / ops/sdf_bake.bake_for_model) is
+        memoized on the step so a test session's N views and relights
+        share one bake; training state is never mutated — every
+        downstream render path (escalation ladder, calibration probes,
+        multi-emitter chunks, sharded eval) reads the injected
+        ``params["_eval_bake"]`` copy.  No-op when the model has no
+        bake configured.
+        """
+        model = self.model
+        if getattr(model, "eval_sdf_bake", "off") == "off":
+            return state
+        key = int(state["step"])
+        cache = getattr(self, "_eval_bake_cache", None)
+        if cache is None or cache[0] != key:
+            import time as _time
+
+            t0 = _time.time()
+            bake = model.bake_eval_sdf(state["params"], key)
+            jax.block_until_ready(bake["packed"])
+            print(f"baked eval SDF grid "
+                  f"({model.eval_sdf_bake_cells}^3 cells, "
+                  f"{_time.time() - t0:.1f}s)", flush=True)
+            self._eval_bake_cache = cache = (key, bake)
+        return {**state, "params": {**state["params"],
+                                    "_eval_bake": cache[1]}}
+
     def validate(self, state, n_images: Optional[int] = None):
+        state = self._with_eval_bake(state)
         split = self.datamodule.val()
         render_chunk = self.make_render_chunk(mesh=self.mesh)
         n = len(split) if n_images is None else min(n_images, len(split))
@@ -681,6 +711,7 @@ class NeuSSystem(BaseSystem):
         return {"psnr": mean_psnr}
 
     def test(self, state, export: bool = True):
+        state = self._with_eval_bake(state)
         split = self.datamodule.test()
         render_chunk = self.make_render_chunk(mesh=self.mesh)
         psnrs = []

@@ -413,33 +413,6 @@ class SplitOccSystem(NeuSSystem):
         self.saver.save_image_grid(f"it{step}-envmap.exr", [
             {"type": "hdr", "img": img, "kwargs": {"data_format": "HWC"}}])
 
-    def _with_eval_bake(self, state):
-        """Inject the per-checkpoint dense SDF bake into a copy of state.
-
-        The bake (model.bake_eval_sdf) is memoized on the step so a test
-        session's N views and relights share one bake; training state is
-        never mutated — every downstream render path (escalation ladder,
-        calibration probes, multi-emitter chunks) reads the injected
-        ``params["_eval_bake"]`` copy.
-        """
-        model = self.model
-        if getattr(model, "eval_sdf_bake", "off") == "off":
-            return state
-        key = int(state["step"])
-        cache = getattr(self, "_eval_bake_cache", None)
-        if cache is None or cache[0] != key:
-            import time as _time
-
-            t0 = _time.time()
-            bake = model.bake_eval_sdf(state["params"], key)
-            jax.block_until_ready(bake["packed"])
-            print(f"baked eval SDF grid "
-                  f"({model.eval_sdf_bake_cells}^3 cells, "
-                  f"{_time.time() - t0:.1f}s)", flush=True)
-            self._eval_bake_cache = cache = (key, bake)
-        return {**state, "params": {**state["params"],
-                                    "_eval_bake": cache[1]}}
-
     def validate(self, state, n_images: Optional[int] = None):
         state = self._with_eval_bake(state)
         split = self.datamodule.val()

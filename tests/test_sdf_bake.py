@@ -190,3 +190,37 @@ def test_train_params_never_bake():
                         background_color=jnp.ones((3,)), prefilter=True)
     np.testing.assert_array_equal(np.asarray(a["comp_rgb_full"]),
                                   np.asarray(b["comp_rgb_full"]))
+
+
+def test_neus_model_bake_probe_parity():
+    """The NeuS model's visibility probe served from the bake matches
+    the hash-probe prefiltered render (NeuS has no secondary pass, so
+    probe == full there)."""
+    from rise_sdf_tpu import models
+    from rise_sdf_tpu.presets import tiny_neus_config
+
+    cfg = tiny_neus_config()
+    cfg["model"]["variance"]["init_val"] = 0.7
+    cfg["model"]["num_samples_per_ray"] = 256
+    base = {**{k: cfg.model[k] for k in cfg.model},
+            "visibility_prefilter": True}
+    model = models.make(cfg.model.name, base)
+    model_b = models.make(cfg.model.name, {
+        **base, "eval_sdf_bake": "probe", "eval_sdf_bake_cells": 96})
+    params = model.init(jax.random.PRNGKey(0))
+    occ = jnp.ones((model.grid_resolution ** 3,), bool)
+    o, d = _sphere_rays(16)
+    rays = jnp.concatenate([o, d], -1)
+    step = jnp.asarray(20, jnp.int32)
+
+    ref = model.forward(params, rays, occ_binary=occ, step=step, rng=None,
+                        train=False, capacity=2048,
+                        background_color=jnp.ones((3,)), prefilter=True)
+    bake = model_b.bake_eval_sdf(params, 20)
+    got = model_b.forward({**params, "_eval_bake": bake}, rays,
+                          occ_binary=occ, step=step, rng=None, train=False,
+                          capacity=2048, background_color=jnp.ones((3,)),
+                          prefilter=True)
+    for k in ("comp_rgb_full", "opacity", "depth"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   atol=1e-2, err_msg=k)
