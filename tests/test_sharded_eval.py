@@ -93,3 +93,29 @@ def test_validate_runs_with_mesh(system):
         assert np.isfinite(res["psnr"])
     finally:
         system.mesh = None
+
+
+def test_sharded_render_with_bake_matches_single(tmp_path_factory):
+    """Bake injection under the data mesh: the packed grid replicates
+    (table_specs maps it to P()) and the sharded banded render matches
+    single-device with the bake on."""
+    assert len(jax.devices()) >= NDEV
+    cfg = tiny_split_config()
+    cfg["model"]["visibility_prefilter"] = True
+    cfg["model"]["eval_sdf_bake"] = "full"
+    cfg["model"]["eval_sdf_bake_cells"] = 48
+    dm = datasets.make(cfg.dataset.name, cfg.dataset)
+    system = systems.make(cfg.system.name, cfg, dm,
+                          save_dir=str(tmp_path_factory.mktemp("sbake")))
+    state = system.init_state(0)
+    state["step"] = state["step"] + 20
+    state = system._with_eval_bake(state)
+    assert "_eval_bake" in state["params"]
+    split = system.datamodule.val()
+    single = system.make_render_chunk(1)
+    sharded = system.make_render_chunk(1, mesh=get_mesh(NDEV))
+    out_s = system.render_image(state, split, 0, single, stage=1)
+    out_m = system.render_image(state, split, 0, sharded, stage=1)
+    for k in ("comp_rgb_full", "comp_rgb_phys_full", "opacity", "depth"):
+        np.testing.assert_allclose(out_m[k], out_s[k], atol=2e-3,
+                                   err_msg=k)
