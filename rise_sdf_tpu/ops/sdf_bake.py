@@ -32,7 +32,6 @@ converged checkpoint before any default flip (BASELINE.md protocol).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
