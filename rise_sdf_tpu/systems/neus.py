@@ -747,6 +747,7 @@ class NeuSSystem(BaseSystem):
     def predict(self, state, hdr_filepath=None):
         """Render the predict split (e.g. the spheric trajectory the
         colmap loader generates) into an image sequence."""
+        state = self._with_eval_bake(state)
         dm = self.datamodule
         split = dm.predict() if hasattr(dm, "predict") else dm.test()
         render_chunk = self.make_render_chunk()

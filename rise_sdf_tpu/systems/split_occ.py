@@ -781,6 +781,7 @@ class SplitOccSystem(NeuSSystem):
     def predict(self, state, hdr_filepath: str):
         """Relighting render for every test view under a given HDR map
         (reference --predict, launch.py:111-118)."""
+        state = self._with_eval_bake(state)
         split = self.datamodule.test()
         stage = 1
         chunk = self.make_render_chunk(stage, relighting=True)
