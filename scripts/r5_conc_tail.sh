@@ -17,7 +17,7 @@ if [ "$T" -lt 300 ]; then
   echo "no time for train (left $(left)s)" >> "$LOG"
 else
   timeout "$T" python scripts/train_synthetic.py --steps 600 --res 96 \
-    --kick 300 --bf16 --val-every 300 --save-every 300 --out exp/r5conc \
+    --kick 300 --bf16 --val-every 600 --save-every 100 --out exp/r5conc \
     --set dataset.name=synthetic-concave >> "$LOG" 2>&1
   echo "train exit=$? $(date +%F-%H:%M)" >> "$LOG"
 fi
